@@ -1,0 +1,53 @@
+package graft
+
+import graft.cdc.{Engine, MergeApply}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The whole CDC engine under the DuckDB correctness gate: the driver's
+  * `events` table is interpreted as a change log (event_id = LSN,
+  * 'error' = delete, everything else = upsert of that user's page), replayed
+  * through the real lake-table merge-apply in two batches, and the final
+  * table state is read back. The oracle is the independent SQL reduction
+  * (last event per key wins; trailing delete = absent).
+  */
+object CdcQuery {
+
+  def toChangeEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id").as("lsn"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      concat(lit("u"), col("user_id").cast("string")).as("url"),
+      col("ts").as("warc_ts"),
+      lit(null).cast("binary").as("html"),
+      col("props").as("text"),
+      col("event_type").as("lang"))
+
+  def qCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ce = toChangeEvents(Queries.t(spark, dir, "events"))
+    val mid = ce.agg(
+      ((min(col("lsn")) + max(col("lsn"))) / 2).cast("long")).collect()(0).getLong(0)
+
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("cdc-query").toString + "/pages"
+    val table = Engine.createPagesTable(tableDir, numBuckets = 8)
+    MergeApply(spark, table, ce.filter(col("lsn") <= mid), batchId = 0L)
+    MergeApply(spark, table, ce.filter(col("lsn") > mid), batchId = 1L)
+
+    table.read(spark)
+      .select("url", "warc_ts", "text", "lang", "_lsn")
+      .orderBy("url")
+  }
+
+  val qCdcMergeSql: String =
+    """SELECT 'u' || CAST(user_id AS VARCHAR) AS url, ts AS warc_ts,
+      |  props AS text, event_type AS lang, event_id AS _lsn
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY url""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_cdc_merge" -> ((qCdcMerge _, qCdcMergeSql))
+  )
+}

@@ -1,0 +1,286 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.{Ann, Dedup, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables: dedup family, similarity search, text analysis, multimodal
+  * plumbing — each with a DuckDB oracle.
+  */
+object TrainQueries {
+  import Queries.t
+
+  // DuckDB shingle CTE shared by the dedup oracles (3-gram word shingles,
+  // distinct per doc) — mirrors Dedup.shingles.
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+      |       FROM toks, UNNEST(GENERATE_SERIES(1, len(l)-2)) AS u(i)
+      |       WHERE len(l) >= 3)""".stripMargin
+
+  // ------------------------------------------------------------- exact dedup
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedupGroups(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("h")
+
+  val qDedupExactSql: String =
+    """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
+      |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
+
+  // ----------------------------------------------------------- n-gram jaccard
+
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .orderBy("i", "j")
+
+  val qNgramJaccardSql: String =
+    s"""WITH $shingleCte,
+       |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j, jaccard FROM (
+       |  SELECT i, j, ROUND(common * 1.0 / (ca.c + cb.c - common), 6) AS jaccard
+       |  FROM pairs JOIN cnt ca ON i = ca.doc_id JOIN cnt cb ON j = cb.doc_id)
+       |WHERE jaccard >= 0.5 ORDER BY i, j""".stripMargin
+
+  // ------------------------------------------------------------ minhash + lsh
+
+  def qMinhashSig(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(t(spark, dir, "documents"), "doc_id", "text",
+        numHashes = 8, n = 3, md5Based = true)
+      .orderBy("doc_id")
+
+  val qMinhashSigSql: String = {
+    val hashes = (0 until 8)
+      .map(k => s"MIN(md5(shingle || '#$k')) AS h$k").mkString(",\n  ")
+    s"""WITH $shingleCte
+       |SELECT doc_id,
+       |  $hashes
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  def qMinhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.minhashSignatures(t(spark, dir, "documents"), "doc_id",
+      "text", numHashes = 8, n = 3, md5Based = true)
+    Dedup.minhashLshPairs(sig, "doc_id", numHashes = 8, bands = 4)
+      .orderBy("i", "j")
+  }
+
+  val qMinhashLshPairsSql: String = {
+    val hashes = (0 until 8)
+      .map(k => s"MIN(md5(shingle || '#$k')) AS h$k").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, md5(h${2 * b} || '|' || h${2 * b + 1}) AS bk FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, $hashes FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+       |ORDER BY i, j""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text", bits = 16)
+      .orderBy("doc_id")
+
+  val qSimhashSql: String = {
+    val hexVal =
+      (1 to 4).map { p =>
+        val mult = math.pow(16, 4 - p).toLong
+        s"(STRPOS('0123456789abcdef', SUBSTR(md5(tok), $p, 1)) - 1) * $mult"
+      }.mkString(" + ")
+    val bitSums = (0 until 16)
+      .map(b => s"SUM(CASE WHEN (v // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    val sig = (0 until 16)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+       |hv AS (SELECT doc_id, $hexVal AS v FROM toks),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hv GROUP BY doc_id)
+       |SELECT doc_id, $sig AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- ANN / cos
+
+  private val cosSql =
+    """ROUND(list_dot_product(qv::DOUBLE[], tv::DOUBLE[]) /
+      |    (SQRT(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+      |     * SQRT(list_dot_product(tv::DOUBLE[], tv::DOUBLE[]))), 6)""".stripMargin
+
+  /** Brute-force cosine top-10 for 3 query vectors (the ANN baseline). */
+  def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Ann.bruteForceTopK(emb.filter(col("vec_id") < 3), emb,
+        "vec_id", "embedding", k = 10)
+      .orderBy(col("qid"), col("cos").desc, col("tid"))
+  }
+
+  val qAnnTopKSql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+       |tt AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings)
+       |SELECT qid, tid, cos FROM (
+       |  SELECT qid, tid, $cosSql AS cos
+       |  FROM tt, q WHERE qid <> tid)
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, tid) <= 10
+       |ORDER BY qid, cos DESC, tid""".stripMargin
+
+  /** Embedding near-dup within coarse cells (IVF-style pruning by label). */
+  def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(spark, dir, "embeddings"), "vec_id", "embedding",
+        "label", threshold = 0.3)
+      .orderBy("i", "j")
+
+  val qEmbeddingNearDupSql: String =
+    s"""SELECT i, j, cos FROM (
+       |  SELECT a.vec_id AS i, b.vec_id AS j,
+       |    ${cosSql.replace("qv", "a.embedding").replace("tv", "b.embedding")} AS cos
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |WHERE cos >= 0.3 ORDER BY i, j""".stripMargin
+
+  // ------------------------------------------------------------ text analysis
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    val doc = t(spark, dir, "documents")
+    val withCounts = doc.select(
+      col("doc_id"),
+      TextAnalysis.markerCount(col("text"), TextAnalysis.markers(0)._2)
+        .cast("long").as("c_en"),
+      TextAnalysis.markerCount(col("text"), TextAnalysis.markers(1)._2)
+        .cast("long").as("c_es"),
+      TextAnalysis.markerCount(col("text"), TextAnalysis.markers(2)._2)
+        .cast("long").as("c_de"))
+    withCounts
+      .withColumn("pred",
+        TextAnalysis.langPred(col("c_en"), col("c_es"), col("c_de")))
+      .orderBy("doc_id")
+  }
+
+  val qLangIdSql: String =
+    """SELECT doc_id, c_en, c_es, c_de,
+      |  CASE WHEN c_en >= c_es AND c_en >= c_de THEN 'en'
+      |       WHEN c_es >= c_de THEN 'es' ELSE 'de' END AS pred
+      |FROM (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS c_en,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','y'))) AS c_es,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS c_de
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.punctCount(col("text")).cast("long").as("punct_cnt"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val qQualityScoreSql: String =
+    """SELECT doc_id, n_tokens, punct_cnt,
+      |  ROUND(c_en * 1.0 / n_tokens, 6) AS stop_ratio,
+      |  ROUND(0.4 * LEAST(1.0, n_tokens / 100.0)
+      |      + 0.3 * (1.0 - LEAST(1.0, (c_en * 1.0 / n_tokens) * 5.0))
+      |      + 0.3 * LEAST(1.0, punct_cnt / 10.0), 6) AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(regexp_extract_all(text, '[.,!?]')) AS punct_cnt,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and'))) AS c_en
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  val qTokenCountSql: String =
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val qFingerprintSql: String =
+    """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- multimodal
+
+  /** Binary-column plumbing: text bytes as the opaque payload, features via
+    * the per-partition decode stub (Multimodal.extractFeatures). */
+  def qMultimodal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = t(spark, dir, "documents")
+      .select(col("doc_id").as("id"), lit("text/utf-8").as("kind"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[Multimodal.MediaRow]
+    Multimodal.extractFeatures(spark, media)
+      .toDF()
+      .select(col("id").as("doc_id"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"), col("digest"))
+      .orderBy("doc_id")
+  }
+
+  val qMultimodalSql: String = {
+    val hexVal =
+      (1 to 4).map { p =>
+        val mult = math.pow(16, 4 - p).toLong
+        s"(STRPOS('0123456789abcdef', SUBSTR(md5(text), $p, 1)) - 1) * $mult"
+      }.mkString(" + ")
+    s"""SELECT doc_id, n_bytes,
+       |  64 + v % 256 AS width,
+       |  64 + v // 256 AS height,
+       |  n_bytes // 256 + 1 AS n_frames, digest
+       |FROM (
+       |  SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+       |    $hexVal AS v, md5(text) AS digest
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- registry
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_dedup_exact" -> ((qDedupExact _, qDedupExactSql)),
+    "q_ngram_jaccard" -> ((qNgramJaccard _, qNgramJaccardSql)),
+    "q_minhash_sig" -> ((qMinhashSig _, qMinhashSigSql)),
+    "q_minhash_lsh_pairs" -> ((qMinhashLshPairs _, qMinhashLshPairsSql)),
+    "q_simhash" -> ((qSimhash _, qSimhashSql)),
+    "q_ann_topk" -> ((qAnnTopK _, qAnnTopKSql)),
+    "q_embedding_neardup" -> ((qEmbeddingNearDup _, qEmbeddingNearDupSql)),
+    "q_lang_id" -> ((qLangId _, qLangIdSql)),
+    "q_quality_score" -> ((qQualityScore _, qQualityScoreSql)),
+    "q_token_count" -> ((qTokenCount _, qTokenCountSql)),
+    "q_fingerprint" -> ((qFingerprint _, qFingerprintSql)),
+    "q_multimodal" -> ((qMultimodal _, qMultimodalSql))
+  )
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language-ID (marker n-gram
+  * heuristic), quality scoring, token counting, document fingerprinting.
+  * All pure column algebra (codegen'd) — per-row maps that run inside the
+  * scan stage at any scale.
+  */
+object TextAnalysis {
+
+  /** Language marker sets (function-word heuristic). */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und")
+  )
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Count of tokens from a marker set. */
+  def markerCount(text: Column, words: Seq[String]): Column =
+    size(filter(toks(text), t => t.isin(words.map(lit(_)): _*)))
+
+  /** Predicted language via explicit comparison chain (deterministic ties:
+    * en > es > de). */
+  def langPred(cEn: Column, cEs: Column, cDe: Column): Column =
+    when(cEn >= cEs && cEn >= cDe, "en")
+      .when(cEs >= cDe, "es")
+      .otherwise("de")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(toks(text))
+
+  /** BPE-ish token count: words | digit runs | single non-alnum marks. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** Punctuation count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,!?]"), lit(0)))
+
+  /** Stopword ratio against the `en` marker set. */
+  def stopwordRatio(text: Column): Column =
+    round(markerCount(text, markers.head._2).cast("double") /
+      wsTokenCount(text), 6)
+
+  /** Composite quality score in [0,1]: length, stopword, punctuation
+    * signals (the reference-style heuristic filter for web text). */
+  def qualityScore(text: Column): Column = {
+    val nTok = wsTokenCount(text).cast("double")
+    val stop = markerCount(text, markers.head._2).cast("double") / nTok
+    val punct = punctCount(text).cast("double")
+    round(
+      lit(0.4) * least(lit(1.0), nTok / 100.0) +
+        lit(0.3) * (lit(1.0) - least(lit(1.0), stop * 5.0)) +
+        lit(0.3) * least(lit(1.0), punct / 10.0),
+      6)
+  }
+
+  /** Document fingerprint: digest of whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}

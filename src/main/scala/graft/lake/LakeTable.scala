@@ -1,0 +1,336 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** Minimal Iceberg-style lake table format (SURVEY.md §7.1 module `lake`).
+  *
+  * No Iceberg/Delta jar exists in this offline environment, so the table
+  * layer is built from scratch on public Spark + Hadoop FS APIs:
+  *
+  * {{{
+  * <dir>/metadata/version-hint.text      -- current metadata version (atomic rename)
+  * <dir>/metadata/v<N>.metadata.json     -- schemas (field-IDs), partition spec,
+  *                                          snapshot log with lineage manifests
+  * <dir>/data/snap-<id>/_bucket=<k>/part-....parquet
+  * }}}
+  *
+  * Design notes for 100 TB scale:
+  *  - data is hash-bucketed by key (`bucket(url) % B`) — merges prune to
+  *    touched buckets only (file-level pruning via the manifest, no scan of
+  *    the full table);
+  *  - commits are copy-on-write: only files in touched buckets are rewritten,
+  *    untouched file entries are carried forward in the new snapshot;
+  *  - commit atomicity = write-new-metadata + atomic rename of the
+  *    version-hint (single writer per table), the same rename-aside
+  *    discipline as the reference's crash-safe dataset writes
+  *    (/root/reference/etl/steps/__init__.py:435-459, datasets.py:119-126);
+  *  - schema evolution by field-ID: renames/additions never rewrite data;
+  *    old Parquet files stay readable through an ID-based remap projection
+  *    (Iceberg's add/rename-column semantics re-expressed with select/cast).
+  *
+  * Lineage: every snapshot records (stepId, batchId, lsn range, per-op row
+  * counts, input snapshot ids) — the analogue of the reference's
+  * `source_checksum` recorded in each dataset's index.json
+  * (/root/reference/etl/steps/__init__.py:501-504) and the basis of
+  * exactly-once replay dedup and dirty-step detection.
+  */
+final case class LakeField(id: Int, name: String, dtype: String, nullable: Boolean = true)
+
+final case class LakeSchema(schemaVersion: Int, fields: Seq[LakeField]) {
+  def toStruct: StructType = StructType(fields.map(f =>
+    StructField(f.name, DataType.fromDDL(f.dtype), f.nullable)))
+  def byId: Map[Int, LakeField] = fields.map(f => f.id -> f).toMap
+}
+
+final case class DataFile(path: String, bucket: Int, rows: Long, schemaVersion: Int)
+
+final case class Snapshot(
+    snapshotId: Long,
+    parentId: Option[Long],
+    stepId: String,
+    batchId: Long,
+    lsnMin: Long,
+    lsnMax: Long,
+    rowsInserted: Long,
+    rowsUpdated: Long,
+    rowsDeleted: Long,
+    schemaVersion: Int,
+    files: Seq[DataFile],
+    inputSnapshots: Map[String, Long] = Map.empty // upstream table → snapshotId (lineage)
+)
+
+final case class TableMetadata(
+    version: Int,
+    numBuckets: Int,
+    bucketColumn: String,
+    schemas: Seq[LakeSchema],
+    currentSchemaVersion: Int,
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[Snapshot]
+) {
+  def currentSchema: LakeSchema =
+    schemas.find(_.schemaVersion == currentSchemaVersion).get
+  def currentSnapshot: Option[Snapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+  def schemaAt(v: Int): LakeSchema = schemas.find(_.schemaVersion == v).get
+  def committedBatchIds: Set[Long] = snapshots.map(_.batchId).toSet
+}
+
+class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()) {
+  import LakeTable._
+
+  private val root = new Path(dir)
+  private def fs: FileSystem = root.getFileSystem(hadoopConf)
+  private val metaDir = new Path(root, "metadata")
+  private val hint = new Path(metaDir, "version-hint.text")
+
+  def exists: Boolean = fs.exists(hint)
+
+  // -------------------------------------------------------------- create
+
+  def create(fields: Seq[LakeField], numBuckets: Int, bucketColumn: String): Unit = {
+    require(!exists, s"table already exists at $dir")
+    val meta = TableMetadata(
+      version = 1,
+      numBuckets = numBuckets,
+      bucketColumn = bucketColumn,
+      schemas = Seq(LakeSchema(1, fields)),
+      currentSchemaVersion = 1,
+      currentSnapshotId = None,
+      snapshots = Nil)
+    fs.mkdirs(metaDir)
+    writeMetadata(meta)
+  }
+
+  // -------------------------------------------------------------- metadata io
+
+  def metadata: TableMetadata = {
+    val v = readString(hint).trim.toInt
+    parseMetadata(readString(new Path(metaDir, s"v$v.metadata.json")))
+  }
+
+  /** Atomic commit: write v<N+1>.metadata.json, then atomically swap the
+    * version hint (write temp + rename — rename is atomic on HDFS and posix).
+    */
+  def commit(meta: TableMetadata): Unit = {
+    val next = meta.version
+    val mPath = new Path(metaDir, s"v$next.metadata.json")
+    require(!fs.exists(mPath), s"concurrent writer detected at $mPath")
+    writeString(mPath, renderMetadata(meta))
+    val tmp = new Path(metaDir, s".version-hint.$next.tmp")
+    writeString(tmp, next.toString)
+    if (fs.exists(hint)) fs.delete(hint, false)
+    if (!fs.rename(tmp, hint))
+      throw new java.io.IOException(s"atomic version-hint swap failed at $dir")
+  }
+
+  private def writeMetadata(meta: TableMetadata): Unit = commit(meta)
+
+  // -------------------------------------------------------------- schema evolution
+
+  /** Add a column (new field-ID, new schema version). Data files are not
+    * touched; old files read the new column as NULL. */
+  def addColumn(name: String, dtype: String): Unit = {
+    val m = metadata
+    val cur = m.currentSchema
+    require(!cur.fields.exists(_.name == name), s"column exists: $name")
+    val nextId = (m.schemas.flatMap(_.fields.map(_.id)) :+ 0).max + 1
+    val ns = LakeSchema(cur.schemaVersion + 1, cur.fields :+ LakeField(nextId, name, dtype))
+    commit(m.copy(
+      version = m.version + 1,
+      schemas = m.schemas :+ ns,
+      currentSchemaVersion = ns.schemaVersion))
+  }
+
+  /** Rename a column in place (same field-ID, new schema version). Old data
+    * files keep the old physical name; the read remap projects by ID. */
+  def renameColumn(from: String, to: String): Unit = {
+    val m = metadata
+    val cur = m.currentSchema
+    require(cur.fields.exists(_.name == from), s"no column: $from")
+    require(!cur.fields.exists(_.name == to), s"column exists: $to")
+    val ns = LakeSchema(
+      cur.schemaVersion + 1,
+      cur.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    commit(m.copy(
+      version = m.version + 1,
+      schemas = m.schemas :+ ns,
+      currentSchemaVersion = ns.schemaVersion))
+  }
+
+  // -------------------------------------------------------------- read path
+
+  /** Read the current snapshot. Old-schema files are projected to the
+    * current schema by field-ID (rename-safe, add-safe). Optionally prune to
+    * a bucket subset (manifest-level file pruning — the merge fast path). */
+  def read(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
+    val m = metadata
+    val cur = m.currentSchema
+    val snap = m.currentSnapshot
+    val files = snap.map(_.files).getOrElse(Nil)
+      .filter(f => buckets.forall(_.contains(f.bucket)))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur.toStruct)
+    // group files by the schema version they were written under; each group
+    // is one scan with an ID-remap projection, then unionByName
+    files.groupBy(_.schemaVersion).map { case (sv, group) =>
+      val written = m.schemaAt(sv)
+      val writtenById = written.byId
+      val df = spark.read
+        .schema(written.toStruct)
+        .parquet(group.map(f => new Path(root, f.path).toString): _*)
+      val projection = cur.fields.map { f =>
+        writtenById.get(f.id) match {
+          case Some(old) => col(old.name).cast(DataType.fromDDL(f.dtype)).as(f.name)
+          case None      => lit(null).cast(DataType.fromDDL(f.dtype)).as(f.name)
+        }
+      }
+      df.select(projection: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Bucket expression for this table's key column. */
+  def bucketExpr(keyCol: String): org.apache.spark.sql.Column =
+    pmod(xxhash64(col(keyCol)), lit(metadata.numBuckets)).cast("int")
+
+  /** List parquet files under a snapshot data dir, with bucket parsed from
+    * the `_bucket=<k>` partition dir. */
+  def listDataFiles(snapDirRel: String, schemaVersion: Int, spark: SparkSession): Seq[DataFile] = {
+    val snapDir = new Path(root, snapDirRel)
+    if (!fs.exists(snapDir)) return Nil
+    val it = fs.listFiles(snapDir, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      if (p.getName.endsWith(".parquet")) {
+        val bucket = p.getParent.getName match {
+          case s if s.startsWith("_bucket=") => s.stripPrefix("_bucket=").toInt
+          case _                             => -1
+        }
+        val rel = p.toString.stripPrefix(root.toString).stripPrefix("/")
+        out += DataFile(rel, bucket, -1L, schemaVersion)
+      }
+    }
+    out.toSeq
+  }
+
+  def deleteDataDir(snapDirRel: String): Unit = {
+    val p = new Path(root, snapDirRel)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def absolute(rel: String): String = new Path(root, rel).toString
+
+  // -------------------------------------------------------------- json codec
+
+  private def readString(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeString(p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8"))
+    finally out.close()
+  }
+}
+
+object LakeTable {
+  private val mapper = new ObjectMapper()
+
+  def renderMetadata(m: TableMetadata): String = {
+    val rootN = mapper.createObjectNode()
+    rootN.put("version", m.version)
+    rootN.put("numBuckets", m.numBuckets)
+    rootN.put("bucketColumn", m.bucketColumn)
+    rootN.put("currentSchemaVersion", m.currentSchemaVersion)
+    m.currentSnapshotId.foreach(rootN.put("currentSnapshotId", _))
+    val schemasN = rootN.putArray("schemas")
+    m.schemas.foreach { s =>
+      val sn = schemasN.addObject()
+      sn.put("schemaVersion", s.schemaVersion)
+      val fn = sn.putArray("fields")
+      s.fields.foreach { f =>
+        val o = fn.addObject()
+        o.put("id", f.id); o.put("name", f.name)
+        o.put("type", f.dtype); o.put("nullable", f.nullable)
+      }
+    }
+    val snapsN = rootN.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val o = snapsN.addObject()
+      o.put("snapshotId", s.snapshotId)
+      s.parentId.foreach(o.put("parentId", _))
+      o.put("stepId", s.stepId); o.put("batchId", s.batchId)
+      o.put("lsnMin", s.lsnMin); o.put("lsnMax", s.lsnMax)
+      o.put("rowsInserted", s.rowsInserted)
+      o.put("rowsUpdated", s.rowsUpdated)
+      o.put("rowsDeleted", s.rowsDeleted)
+      o.put("schemaVersion", s.schemaVersion)
+      val filesN = o.putArray("files")
+      s.files.foreach { f =>
+        val fo = filesN.addObject()
+        fo.put("path", f.path); fo.put("bucket", f.bucket)
+        fo.put("rows", f.rows); fo.put("schemaVersion", f.schemaVersion)
+      }
+      val inN = o.putObject("inputSnapshots")
+      s.inputSnapshots.foreach { case (k, v) => inN.put(k, v) }
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootN)
+  }
+
+  def parseMetadata(json: String): TableMetadata = {
+    val n = mapper.readTree(json)
+    def arr(x: JsonNode, f: String): Seq[JsonNode] =
+      Option(x.get(f)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    val schemas = arr(n, "schemas").map { sn =>
+      LakeSchema(
+        sn.get("schemaVersion").asInt(),
+        arr(sn, "fields").map(f =>
+          LakeField(f.get("id").asInt(), f.get("name").asText(),
+            f.get("type").asText(), f.get("nullable").asBoolean(true))))
+    }
+    val snaps = arr(n, "snapshots").map { s =>
+      Snapshot(
+        s.get("snapshotId").asLong(),
+        Option(s.get("parentId")).map(_.asLong()),
+        s.get("stepId").asText(),
+        s.get("batchId").asLong(),
+        s.get("lsnMin").asLong(), s.get("lsnMax").asLong(),
+        s.get("rowsInserted").asLong(), s.get("rowsUpdated").asLong(),
+        s.get("rowsDeleted").asLong(),
+        s.get("schemaVersion").asInt(),
+        arr(s, "files").map(f =>
+          DataFile(f.get("path").asText(), f.get("bucket").asInt(),
+            f.get("rows").asLong(), f.get("schemaVersion").asInt())),
+        Option(s.get("inputSnapshots")).map { in =>
+          in.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        }.getOrElse(Map.empty)
+      )
+    }
+    TableMetadata(
+      n.get("version").asInt(),
+      n.get("numBuckets").asInt(),
+      n.get("bucketColumn").asText(),
+      schemas,
+      n.get("currentSchemaVersion").asInt(),
+      Option(n.get("currentSnapshotId")).map(_.asLong()),
+      snaps)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (Array[Float]) — brute-force cosine top-k baseline + LSH/IVF-bucketed
+  * scale paths. All math is `functions.zip_with`/`aggregate` column algebra
+  * in double precision (sequential fold — deterministic, engine-portable);
+  * no UDFs in the hot path.
+  */
+object Ann {
+
+  /** Elementwise-double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query row against every target row.
+    * The baseline path — correct at any scale but O(|Q|·|T|); broadcast the
+    * (small) query side so the scan parallelizes over targets without a
+    * shuffle. Ranking is on cosine rounded to 6 decimals with id tiebreak
+    * (deterministic). */
+  def bruteForceTopK(
+      queries: DataFrame,
+      targets: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val t = targets.select(col(idCol).as("tid"), col(vecCol).as("tv"))
+    val scored = t.crossJoin(q)
+      .where(col("qid") =!= col("tid"))
+      .select(col("qid"), col("tid"),
+        round(cosine(col("qv"), col("tv")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Sign-bit LSH bucket id from `planes` fixed hyperplanes. Hyperplane
+    * p's component j is a deterministic pseudo-random ±1 derived from
+    * xxhash64(j, p) — reproducible everywhere, no stored model. */
+  def lshBucket(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // sum_j vec[j] * sign(hash(j, p))
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, j) => x.cast("double") *
+            when(pmod(xxhash64(j, lit(p)), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << p)).otherwise(0)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: queries only compare against targets in the same
+    * sign-bit bucket — the scale path (equi-join on bucket id; each bucket
+    * holds ~|T|/2^planes candidates). Recall can be raised by probing
+    * neighboring buckets; this implements single-probe. */
+  def lshTopK(
+      queries: DataFrame,
+      targets: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      planes: Int = 4
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+    val t = targets.select(col(idCol).as("tid"), col(vecCol).as("tv"),
+      lshBucket(col(vecCol), dim, planes).as("bucket"))
+    val scored = t.join(broadcast(q), Seq("bucket"))
+      .where(col("qid") =!= col("tid"))
+      .select(col("qid"), col("tid"),
+        round(cosine(col("qv"), col("tv")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** IVF-style ANN with a precomputed coarse cell column: compare only
+    * within the query's cell (cells = k-means centroids in a real system;
+    * any coarse quantizer column works). */
+  def ivfTopK(
+      queries: DataFrame,
+      targets: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(cellCol),
+      col(idCol).as("qid"), col(vecCol).as("qv")))
+    val t = targets.select(col(cellCol), col(idCol).as("tid"), col(vecCol).as("tv"))
+    val scored = t.join(q, Seq(cellCol))
+      .where(col("qid") =!= col("tid"))
+      .select(col("qid"), col("tid"),
+        round(cosine(col("qv"), col("tv")), 6).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("tid"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators for training-data pipelines:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding near-dup.
+  *
+  * Scale design: everything is shingle/band/bucket joins — the pairwise
+  * comparison space is pruned by equi-joins on short keys (LSH bands,
+  * quantizer cells), never an unbounded cross product. At 100 TB the
+  * band-bucket join shuffles only (docId, bandKey) pairs; frequency-capped
+  * buckets bound the worst-case fan-out.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles per document: one row (id, shingle).
+    * Array-native (split + transform + explode) — no UDF, stays in codegen. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    df.filter(size(toks) >= n)
+      .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** Exact dedup: group by content hash, keep the lowest id
+    * (hash-groupBy — one shuffle on the digest). */
+  def exactDedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** All pairs with shingle-Jaccard ≥ threshold: shingle equi-join →
+    * common-count → |A∪B| via per-doc counts. Shuffles on shingle (pruned to
+    * docs sharing ≥1 shingle — never all-pairs). */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+    val a = sh.select(col(idCol).as("i"), col("shingle"))
+    val b = sh.select(col(idCol).as("j"), col("shingle"))
+    val common = a.join(b, Seq("shingle")).where(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("common"))
+    val jac = col("common") / (col("ci") + col("cj") - col("common"))
+    common
+      .join(counts.select(col(idCol).as("i"), col("c").as("ci")), Seq("i"))
+      .join(counts.select(col(idCol).as("j"), col("c").as("cj")), Seq("j"))
+      .select(col("i"), col("j"), round(jac, 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: k independent permutations approximated by
+    * min(hash(shingle, seed)). `md5Based = true` keys the hash on md5 hex
+    * strings (portable to any engine, used by the DuckDB oracle);
+    * false uses xxhash64 (faster, codegen'd — the production path). */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      n: Int = 3,
+      md5Based: Boolean = false
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sigs = (0 until numHashes).map { k =>
+      val h: Column =
+        if (md5Based) min(md5(concat(col("shingle"), lit(s"#$k"))))
+        else min(xxhash64(col("shingle"), lit(k)))
+      h.as(s"h$k")
+    }
+    sh.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
+  }
+
+  /** LSH banding: group the signature into `bands` bands of `rowsPerBand`
+    * hashes; docs sharing any band key are candidate pairs. The band join is
+    * an equi-join on (band, bandKey) — the scale path for near-dup at 10^10
+    * docs (no pairwise scan). */
+  def minhashLshPairs(
+      signatures: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      bands: Int
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { bIdx =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"h${bIdx * rowsPerBand + r}").cast("string"))
+      struct(lit(bIdx).as("band"),
+        md5(concat_ws("|", parts: _*)).as("bk"))
+    }
+    val banded = signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
+    val l = banded.select(col(idCol).as("i"), col("band"), col("bk"))
+    val r = banded.select(col(idCol).as("j"), col("band"), col("bk"))
+    l.join(r, Seq("band", "bk")).where(col("i") < col("j"))
+      .select("i", "j").distinct()
+  }
+
+  /** SimHash over the token multiset: `bits`-bit signature where bit b is
+    * the sign of Σ_tokens (2·bit_b(hash(token)) − 1). Hash basis = first 4
+    * md5 hex chars (16 bits, engine-portable). Pure column algebra: one
+    * explode + one groupBy with `bits` conditional sums. */
+  def simhash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 16
+  ): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$b")
+    }
+    val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    summed.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Embedding near-duplicates within coarse cells (IVF-style): pairs are
+    * only compared inside the same `cellCol` partition — the pruning that
+    * makes near-dup tractable at scale. Cosine computed in double with a
+    * sequential fold (deterministic). */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val a = df.select(col(cellCol), col(idCol).as("i"), col(vecCol).as("va"))
+    val b = df.select(col(cellCol), col(idCol).as("j"), col(vecCol).as("vb"))
+    a.join(b, Seq(cellCol)).where(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        round(Ann.cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed by batched per-partition map functions
+  * (the Scala analogue of `mapInPandas` — one decoder instance per
+  * partition, rows streamed through it).
+  *
+  * The actual codec step is STUBBED (no image/audio libraries exist in this
+  * container): `decodeStub` derives deterministic fake features from the
+  * bytes. The Spark-side contract — schema, binary column handling,
+  * partition-level batching, feature struct shape — is real and tested;
+  * swapping the stub for a JNI/OpenCV decoder changes only the function
+  * body.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRow(id: Long, kind: String, media: Array[Byte])
+
+  /** Extracted features (what a real decoder would emit). */
+  final case class MediaFeatures(
+      id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Int,    // STUB: derived, not decoded
+      height: Int,   // STUB: derived, not decoded
+      n_frames: Int, // STUB: frame-sample count a video decoder would yield
+      digest: String
+  )
+
+  /** STUB decoder ===========================================================
+    * A real implementation would decode the codec here (???). Deterministic
+    * fake: dimensions from a hash of the bytes, frame count from length.
+    * Marked stub per the builder contract. */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    val n = if (r.media == null) 0L else r.media.length.toLong
+    val digest = graft.ops.Checksums.md5Hex(
+      if (r.media == null) "" else new String(r.media, "ISO-8859-1"))
+    val h = Integer.parseInt(digest.substring(0, 4), 16)
+    MediaFeatures(
+      id = r.id,
+      kind = r.kind,
+      n_bytes = n,
+      width = 64 + (h % 256),
+      height = 64 + (h >> 8),
+      n_frames = (n / 256 + 1).toInt,
+      digest = digest)
+  }
+
+  /** Batched feature extraction: one decoder per partition, rows streamed —
+    * the mapInPandas-shaped plumbing. Binary payloads never shuffle: the
+    * map runs in the scan stage; only the (small) feature rows move on. */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (expensive handle reuse)
+      rows.map(decodeStub)
+    }
+  }
+
+  /** Repartition media rows so each partition's payload volume is bounded —
+    * binary columns dominate size, so partition count follows byte budget,
+    * not row count. */
+  def repartitionByPayload(
+      df: DataFrame,
+      bytesCol: String,
+      targetBytesPerPartition: Long,
+      totalBytes: Long
+  ): DataFrame = {
+    val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
+    df.repartition(parts)
+  }
+}

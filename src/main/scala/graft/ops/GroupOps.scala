@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grouped aggregation with NaN budgets and keyed roll-ups — Spark
+  * re-expression of the reference's `groupby_agg`
+  * (/root/reference/lib/datautils/owid/datautils/dataframes.py:310-482) and
+  * region aggregation (/root/reference/etl/data_helpers/geo.py:268-533).
+  *
+  * Everything is single-pass column algebra over `groupBy(...).agg(...)` —
+  * partial (map-side) aggregation applies, no UDAFs, codegen-friendly.
+  */
+object GroupOps {
+
+  /** NaN-budget rules: a group's aggregate becomes NULL when
+    *  - its null count exceeds `numAllowedNans`, or
+    *  - its null fraction exceeds `fracAllowedNans`, or
+    *  - its valid-value count is below `minNumValues`.
+    * Mirrors dataframes.py:310-482 (`num_allowed_nans`, `frac_allowed_nans`,
+    * `min_num_values`).
+    */
+  final case class NanBudget(
+      numAllowedNans: Option[Long] = None,
+      fracAllowedNans: Option[Double] = None,
+      minNumValues: Option[Long] = None
+  ) {
+    def violated(c: String): Column = {
+      val nulls = count(when(col(c).isNull, 1))
+      val valid = count(col(c))
+      val total = count(lit(1))
+      val checks = Seq(
+        numAllowedNans.map(n => nulls > n),
+        fracAllowedNans.map(f => nulls / total.cast("double") > f),
+        minNumValues.map(m => valid < m)
+      ).flatten
+      checks.reduceOption(_ || _).getOrElse(lit(false))
+    }
+  }
+
+  /** groupBy + named aggs with NaN budget applied per value column in the
+    * same pass (one shuffle). `aggFn` ∈ sum|mean|min|max|median. */
+  def groupbyAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCols: Seq[String],
+      aggFn: String = "sum",
+      budget: NanBudget = NanBudget()
+  ): DataFrame = {
+    def baseAgg(c: String): Column = aggFn match {
+      case "sum"    => sum(col(c))
+      case "mean"   => avg(col(c))
+      case "min"    => min(col(c))
+      case "max"    => max(col(c))
+      case "median" => median(col(c))
+      case other    => throw new IllegalArgumentException(s"agg: $other")
+    }
+    val aggs = valueCols.map { c =>
+      when(budget.violated(c), lit(null)).otherwise(baseAgg(c)).as(c)
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Weighted mean Σ(v·w)/Σ(w) over rows where both value and weight are
+    * non-null — `mean_weighted_by_<w>` (dataframes.py:278-307). Pure column
+    * algebra, no UDAF. */
+  def weightedMeanExpr(value: String, weight: String): Column = {
+    val bothValid = col(value).isNotNull && col(weight).isNotNull
+    val num = sum(when(bothValid, col(value) * col(weight)))
+    val den = sum(when(bothValid, col(weight)))
+    num / den
+  }
+
+  /** Region roll-up (the reference's `add_region_aggregates`,
+    * geo.py:268-533 / Regions.add_aggregates geo.py:2025):
+    * given a members table (region, member), aggregate value columns of
+    * member rows into one row per (region × groupKeys), NULL a region's
+    * value when a must-have member is missing or null for that group, then
+    * union the region rows back onto the original table (replacing any
+    * pre-existing rows for those regions — the reference's delete+concat
+    * pattern at geo.py:491-520, i.e. a keyed upsert).
+    *
+    * `members` is expected to be small (country lists) — broadcast join.
+    */
+  def addRegionAggregates(
+      df: DataFrame,
+      entityCol: String,
+      groupKeys: Seq[String],
+      valueCols: Seq[String],
+      members: DataFrame, // (region, member)
+      mustHave: Map[String, Seq[String]] = Map.empty
+  ): DataFrame = {
+    val joined = df.join(
+      broadcast(members),
+      df(entityCol) === members("member"),
+      "inner")
+    val mustHaveChecks: Seq[Column] = mustHave.toSeq.flatMap {
+      case (region, entities) =>
+        entities.map { e =>
+          // flag-max check (geo.py:431-466 `_check_countries_must_have_data`
+          // re-expressed as column algebra; no collect_set shuffle of values)
+          max(when(col("region") === region && col("member") === e, 1)
+            .otherwise(0)) === when(
+            max(when(col("region") === region, 1).otherwise(0)) === 1,
+            1).otherwise(0)
+        }
+    }
+    val aggCols = valueCols.map(c => sum(col(c)).as(c))
+    var regionRows = joined
+      .groupBy((col("region").as(entityCol) +: groupKeys.map(col)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    // must-have nulling: recompute with presence flags when requested
+    if (mustHave.nonEmpty) {
+      val presence = mustHave.toSeq.map { case (region, entities) =>
+        val flags = entities.map(e =>
+          max(when(col("member") === e && valueCols
+            .map(v => col(v).isNotNull)
+            .reduce(_ && _), 1).otherwise(0)))
+        (region, flags.reduce(least(_, _)))
+      }
+      val presenceCol = presence.foldLeft(lit(1)) { case (acc, (region, ok)) =>
+        when(col("region") === region, ok).otherwise(acc)
+      }
+      val aggCols2 = valueCols.map(c =>
+        when(presenceCol === 1, sum(col(c))).otherwise(lit(null)).as(c))
+      regionRows = joined
+        .groupBy((col("region") +: groupKeys.map(col)): _*)
+        .agg(aggCols2.head, aggCols2.tail: _*)
+        .withColumnRenamed("region", entityCol)
+    }
+    val regions = members.select("region").distinct().collect().map(_.getString(0))
+    val kept = df.filter(!col(entityCol).isin(regions.toSeq: _*))
+    kept.unionByName(regionRows.select(kept.columns.map(col): _*))
+  }
+
+  /** value / population per entity-time — `add_per_capita`
+    * (geo.py:2171, 3098). `population` is a small dim: broadcast. */
+  def addPerCapita(
+      df: DataFrame,
+      population: DataFrame,
+      on: Seq[String],
+      valueCols: Seq[String],
+      popCol: String = "population",
+      suffix: String = "_per_capita"
+  ): DataFrame = {
+    val joined = df.join(broadcast(population), on, "left")
+    valueCols
+      .foldLeft(joined)((d, c) =>
+        d.withColumn(c + suffix, col(c) / col(popCol)))
+      .drop(popCol)
+  }
+}
