@@ -32,19 +32,21 @@ object Engine {
   ))
 
   /** The lake-table field layout matching the input_hint page shape, plus
-    * the `_lsn` system column (LWW guard). */
+    * the `_lsn` (LWW guard) and `_deleted` (tombstone) system columns. */
   def pagesFields: Seq[LakeField] = Seq(
     LakeField(1, "url", "string", nullable = false),
     LakeField(2, "warc_ts", "timestamp"),
     LakeField(3, "html", "binary"),
     LakeField(4, "text", "string"),
     LakeField(5, "lang", "string"),
-    LakeField(6, "_lsn", "bigint", nullable = false)
+    LakeField(6, "_lsn", "bigint", nullable = false),
+    LakeField(7, "_deleted", "boolean", nullable = false)
   )
 
   def createPagesTable(dir: String, numBuckets: Int): LakeTable = {
     val t = new LakeTable(dir)
-    t.create(pagesFields, numBuckets, "url")
+    t.create(pagesFields, numBuckets, "url",
+      lwwColumn = Some("_lsn"), tombstoneColumn = Some("_deleted"))
     t
   }
 
@@ -60,7 +62,9 @@ object Engine {
       table: LakeTable,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
-      saltBuckets: Int = 0
+      saltBuckets: Int = 0,
+      mode: MergeApply.MergeMode = MergeApply.MergeOnRead,
+      compactEvery: Int = 8
   ): StreamingQuery = {
     var reader = spark.readStream.schema(eventSchema)
     maxFilesPerTrigger.foreach(n =>
@@ -72,8 +76,12 @@ object Engine {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        MergeApply(spark, table, batch, batchId, stepId = "cdc_ingest",
-          saltBuckets = saltBuckets)
+        val stats = MergeApply(spark, table, batch, batchId,
+          stepId = "cdc_ingest", saltBuckets = saltBuckets, mode = mode)
+        // bound read amplification: fold deltas into base every K batches
+        if (!stats.skipped && mode == MergeApply.MergeOnRead &&
+          compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          MergeApply.compact(spark, table)
         ()
       }
       .start()
@@ -87,12 +95,18 @@ object Engine {
       spark: SparkSession,
       segmentPaths: Seq[String],
       table: LakeTable,
-      saltBuckets: Int = 0
+      saltBuckets: Int = 0,
+      mode: MergeApply.MergeMode = MergeApply.MergeOnRead,
+      compactEvery: Int = 8
   ): Seq[MergeApply.MergeStats] =
     segmentPaths.zipWithIndex.map { case (path, i) =>
       val batch = spark.read.schema(eventSchema).parquet(path)
-      MergeApply(spark, table, batch, i.toLong, stepId = "cdc_ingest",
-        saltBuckets = saltBuckets)
+      val stats = MergeApply(spark, table, batch, i.toLong,
+        stepId = "cdc_ingest", saltBuckets = saltBuckets, mode = mode)
+      if (mode == MergeApply.MergeOnRead && compactEvery > 0 &&
+        (i + 1) % compactEvery == 0)
+        MergeApply.compact(spark, table)
+      stats
     }
 
   /** Independent reduction of an event log to final state — the golden

@@ -1,7 +1,7 @@
 package graft.cdc
 
 import graft.lake._
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The merge-apply stage (north_rule core): apply one micro-batch of change
@@ -14,24 +14,37 @@ import org.apache.spark.sql.functions._
   *  - exactly-once = checksum-gated idempotent upsert
   *    (/root/reference/etl/grapher/to_db.py:209-220) expressed as
   *    batchId-in-manifest dedup — a replayed batch is a committed no-op;
-  *  - delete events = ghost cleanup (to_db.py:416) expressed as merge-time
-  *    row drops guarded by `source.lsn > target._lsn`;
-  *  - late events (lower LSN than the applied row) are discarded by the same
-  *    guard — the reference's full-recompute subsumption, made incremental.
+  *  - delete events = ghost cleanup (to_db.py:416) expressed as tombstone
+  *    rows (`_deleted=true`, carrying the delete's LSN) — filtered from
+  *    reads, purged at compaction. Tombstones (not row drops) make the
+  *    merge correct under ARBITRARY batch splits: a late lower-LSN update
+  *    arriving after the delete loses to the tombstone's LSN.
+  *
+  * Two write modes (both exactly-once, both LWW):
+  *  - **MergeOnRead (default ingest path)**: the deduped batch is appended
+  *    as delta files, bucket-partitioned; no read of existing data. Batch
+  *    cost ∝ batch size — sustained throughput is flat in table size, which
+  *    is what 10^10-event ingest needs. Reads reconcile (max_by LSN per
+  *    key); `compact()` folds deltas into base files periodically.
+  *  - **CopyOnWrite**: join against current state and rewrite touched
+  *    buckets — read-optimized, used by compaction itself and for
+  *    low-rate/reference tables.
   *
   * Scale design (local[32] here, 1000 executors in production):
-  *  - **dedup is `groupBy(key).agg(max_by(...))`, not a window**: declarative
+  *  - dedup is `groupBy(key).agg(max_by(...))`, not a window: declarative
   *    aggregation gets map-side partial aggregation, so a hot url collapses
-  *    to ≤1 row per input partition before the shuffle — bounded skew by
-  *    construction. An explicit two-stage salted variant is available for
-  *    pathological cases (`saltBuckets` > 0) per the north_star's "salted
-  *    repartitioning before the merge-apply stage".
-  *  - **copy-on-write touches only hot buckets**: the join reads only target
-  *    files whose bucket appears in the batch (manifest file pruning);
-  *    untouched files carry forward into the new snapshot without IO.
-  *  - **stats ride the write** via `Observation` — no second pass.
+  *    to ≤1 row per input partition before the shuffle — skew bounded by
+  *    construction. An explicit two-stage salted variant (`saltBuckets`>0)
+  *    covers pathological single-key floods per the north_star.
+  *  - copy-on-write touches only buckets present in the batch (manifest
+  *    file pruning); untouched files carry forward without IO.
+  *  - stats ride the write via `Observation` — no second pass.
   */
 object MergeApply {
+
+  sealed trait MergeMode
+  case object CopyOnWrite extends MergeMode
+  case object MergeOnRead extends MergeMode
 
   final case class MergeStats(
       batchId: Long,
@@ -43,17 +56,55 @@ object MergeApply {
       keptLate: Long
   )
 
+  private def g(m: Map[String, Any], k: String): Long = m.get(k) match {
+    case Some(null)    => 0L
+    case Some(l: Long) => l
+    case Some(i: Int)  => i.toLong
+    case _             => 0L
+  }
+
+  /** LWW-dedup a batch down to one row per key.
+    *
+    * Shape: fixed-width `groupBy(key).agg(max(lsn))` (whole-stage-codegen
+    * HashAggregate with map-side partial aggregation — a hot key collapses
+    * to ≤1 slim row per input partition) + a semi join back on (key, lsn)
+    * to fetch the winning payloads. The payload column (html blobs) never
+    * shuffles: AQE broadcasts the slim max-LSN side. This deliberately
+    * avoids `max_by(struct(...))`, whose variable-width aggregation buffer
+    * forces SortAggregate (two extra sorts of full payloads).
+    *
+    * Correctness relies on LSNs being unique within a batch (the WAL
+    * contract); `saltBuckets` > 1 adds an explicit two-stage reduction for
+    * pathological single-key floods (rarely needed given partial agg).
+    */
+  private def dedupBatch(batch: DataFrame, key: String,
+      valueCols: Seq[String], saltBuckets: Int): DataFrame = {
+    val maxLsn =
+      if (saltBuckets > 1)
+        batch
+          .groupBy(col(key), pmod(xxhash64(col("lsn")), lit(saltBuckets)).as("__salt"))
+          .agg(max(col("lsn")).as("lsn"))
+          .groupBy(col(key)).agg(max(col("lsn")).as("lsn"))
+      else
+        batch.groupBy(col(key)).agg(max(col("lsn")).as("lsn"))
+    batch
+      .join(maxLsn, Seq(key, "lsn"), "left_semi")
+      .select(
+        (col(key) +: col("lsn").as("__s_lsn") +: col("op").as("__s_op") +:
+          valueCols.map(c => col(c).as(s"__s_$c"))): _*)
+  }
+
   /** Apply `batch` (schema: lsn long, op string, <key>, value columns of the
     * table's current schema) to `table`. Returns stats; a batchId already in
-    * the snapshot log is skipped (exactly-once).
-    */
+    * the snapshot log is skipped (exactly-once). */
   def apply(
       spark: SparkSession,
       table: LakeTable,
       batch: DataFrame,
       batchId: Long,
       stepId: String = "merge-apply",
-      saltBuckets: Int = 0
+      saltBuckets: Int = 0,
+      mode: MergeMode = MergeOnRead
   ): MergeStats = {
     val meta = table.metadata
     if (meta.committedBatchIds.contains(batchId))
@@ -62,124 +113,186 @@ object MergeApply {
 
     val key = meta.bucketColumn
     val cur = meta.currentSchema
-    val valueCols: Seq[String] =
-      cur.fields.map(_.name).filterNot(n => n == key || n == "_lsn")
+    val valueCols: Seq[String] = cur.fields.map(_.name)
+      .filterNot(n => n == key || n == "_lsn" || n == "_deleted")
     val b = meta.numBuckets
 
-    // ---- source-side LWW dedup (skew-safe by partial aggregation) --------
     val obsSrc = Observation(s"src-$batchId")
     val observedBatch = batch.observe(
       obsSrc,
       min(col("lsn")).as("lsnMin"),
       max(col("lsn")).as("lsnMax"),
       count(lit(1)).as("events"))
+    val source = dedupBatch(observedBatch, key, valueCols, saltBuckets)
 
-    val payload = struct((col("lsn") +: col("op") +: valueCols.map(col)): _*)
-    val deduped =
-      if (saltBuckets > 1) {
-        // explicit two-stage salted reduction: spread a pathological hot key
-        // over `saltBuckets` reducers first, then reduce the survivors
-        observedBatch
-          .groupBy(col(key), pmod(xxhash64(col("lsn")), lit(saltBuckets)).as("__salt"))
-          .agg(max_by(payload, col("lsn")).as("__e"))
-          .groupBy(col(key))
-          .agg(max_by(col("__e"), col("__e.lsn")).as("__e"))
-      } else {
-        observedBatch.groupBy(col(key)).agg(max_by(payload, col("lsn")).as("__e"))
-      }
-    val srcCols = Seq(
-      col(key),
-      col("__e.lsn").as("__s_lsn"),
-      col("__e.op").as("__s_op")
-    ) ++ valueCols.map(c => col(s"__e.$c").as(s"__s_$c"))
-    val source = deduped.select(srcCols: _*)
+    val debugT0 = System.nanoTime()
+    def dbg(label: String): Unit =
+      if (sys.env.contains("SPARK_GRAFT_DEBUG_MERGE"))
+        System.err.println(f"[merge $batchId] $label: ${(System.nanoTime() - debugT0) / 1e9}%.3f s")
 
-    // ---- touched-bucket pruning ------------------------------------------
-    val touched: Set[Int] = source
-      .select(pmod(xxhash64(col(key)), lit(b)).cast("int").as("bkt"))
-      .distinct()
-      .collect()
-      .map(_.getInt(0))
-      .toSet
+    mode match {
+      case MergeOnRead =>
+        // ---- append-only delta commit: cost ∝ batch size ------------------
+        val snapId = meta.currentSnapshotId.getOrElse(0L) + 1
+        val snapDirRel = s"data/snap-$snapId"
+        val obsM = Observation(s"mor-$batchId")
+        dbg("pre-write")
+        source
+          .select(
+            (col(key) +:
+              valueCols.map(c => col(s"__s_$c").as(c))) ++
+              Seq(
+                col("__s_lsn").as("_lsn"),
+                (col("__s_op") === "D").as("_deleted"),
+                pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket")): _*)
+          .observe(obsM,
+            sum(when(col("_deleted"), 1).otherwise(0)).as("dels"),
+            count(lit(1)).as("rows"))
+          // no extra shuffle: the dedup already partitioned by key, and
+          // partitionBy splits each task's output into its bucket dirs;
+          // compaction consolidates the per-batch small files
+          .repartition(col("_bucket"))
+          .sortWithinPartitions(col(key))
+          .write.partitionBy("_bucket")
+          .parquet(table.absolute(snapDirRel))
+        dbg("write done")
 
-    val target = table.read(spark, Some(touched))
+        val newFiles = table.listDataFiles(snapDirRel, cur.schemaVersion,
+          spark, kind = "delta")
+        dbg("listed files")
+        val carried = meta.currentSnapshot.map(_.files).getOrElse(Nil)
+        val srcRow = obsSrc.get; val mRow = obsM.get
+        val snap = Snapshot(
+          snapshotId = snapId, parentId = meta.currentSnapshotId,
+          stepId = stepId, batchId = batchId,
+          lsnMin = g(srcRow, "lsnMin"), lsnMax = g(srcRow, "lsnMax"),
+          rowsInserted = g(mRow, "rows") - g(mRow, "dels"),
+          rowsUpdated = 0L, rowsDeleted = g(mRow, "dels"),
+          schemaVersion = cur.schemaVersion,
+          files = carried ++ newFiles)
+        table.commit(meta.copy(version = meta.version + 1,
+          currentSnapshotId = Some(snapId),
+          snapshots = meta.snapshots :+ snap))
+        dbg("committed")
+        MergeStats(batchId, snapId, skipped = false,
+          snap.rowsInserted, 0, snap.rowsDeleted, 0)
 
-    // ---- merge: full outer join + action classification ------------------
-    val joined = target.join(source, Seq(key), "full_outer")
-    val srcWins = col("__s_lsn").isNotNull &&
-      (col("_lsn").isNull || col("__s_lsn") > col("_lsn"))
-    val action = when(!srcWins || col("__s_lsn").isNull,
-        when(col("_lsn").isNotNull && col("__s_lsn").isNotNull, lit("late"))
-          .otherwise(lit("keep")))
-      .when(col("__s_op") === "D",
-        when(col("_lsn").isNotNull, lit("delete")).otherwise(lit("noop")))
-      .when(col("_lsn").isNotNull, lit("update"))
-      .otherwise(lit("insert"))
+      case CopyOnWrite =>
+        // ---- join + rewrite touched buckets -------------------------------
+        val touched: Set[Int] = source
+          .select(pmod(xxhash64(col(key)), lit(b)).cast("int").as("bkt"))
+          .distinct().collect().map(_.getInt(0)).toSet
 
-    val obsMerge = Observation(s"merge-$batchId")
-    val classified = joined
-      .withColumn("_action", action)
-      .observe(
-        obsMerge,
-        sum(when(col("_action") === "insert", 1).otherwise(0)).as("inserted"),
-        sum(when(col("_action") === "update", 1).otherwise(0)).as("updated"),
-        sum(when(col("_action") === "delete", 1).otherwise(0)).as("deleted"),
-        sum(when(col("_action") === "late", 1).otherwise(0)).as("late"))
+        val target = table.read(spark, Some(touched), includeTombstones = true)
+        val joined = target.join(source, Seq(key), "full_outer")
 
-    val fromSource = col("_action").isin("insert", "update")
-    val outCols = Seq(col(key)) ++
-      valueCols.map(c =>
-        when(fromSource, col(s"__s_$c")).otherwise(col(c)).as(c)) ++
-      Seq(
-        when(fromSource, col("__s_lsn")).otherwise(col("_lsn")).as("_lsn"),
-        pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket"))
+        val targetLive = col("_lsn").isNotNull && !coalesce(col("_deleted"), lit(false))
+        val srcWins = col("__s_lsn").isNotNull &&
+          (col("_lsn").isNull || col("__s_lsn") > col("_lsn"))
+        val action = when(!srcWins,
+            when(col("__s_lsn").isNotNull, lit("late")).otherwise(lit("keep")))
+          .when(col("__s_op") === "D",
+            when(targetLive, lit("delete")).otherwise(lit("tombstone")))
+          .when(targetLive, lit("update"))
+          .otherwise(lit("insert")) // incl. resurrect over a tombstone
 
-    val result = classified
-      .filter(col("_action").isin("keep", "late", "insert", "update"))
-      .select(outCols: _*)
+        val obsMerge = Observation(s"merge-$batchId")
+        val classified = joined
+          .withColumn("_action", action)
+          .observe(obsMerge,
+            sum(when(col("_action") === "insert", 1).otherwise(0)).as("inserted"),
+            sum(when(col("_action") === "update", 1).otherwise(0)).as("updated"),
+            sum(when(col("_action") === "delete", 1).otherwise(0)).as("deleted"),
+            sum(when(col("_action") === "late", 1).otherwise(0)).as("late"))
 
-    // ---- copy-on-write: rewrite only touched buckets ----------------------
-    val snapId = meta.currentSnapshotId.getOrElse(0L) + 1
+        val fromSource = col("_action").isin("insert", "update", "delete", "tombstone")
+        val outCols = Seq(col(key)) ++
+          valueCols.map(c =>
+            when(fromSource, col(s"__s_$c")).otherwise(col(c)).as(c)) ++
+          Seq(
+            when(fromSource, col("__s_lsn")).otherwise(col("_lsn")).as("_lsn"),
+            when(fromSource, col("__s_op") === "D")
+              .otherwise(coalesce(col("_deleted"), lit(false))).as("_deleted"),
+            pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket"))
+
+        val snapId = meta.currentSnapshotId.getOrElse(0L) + 1
+        val snapDirRel = s"data/snap-$snapId"
+        classified
+          .select((outCols :+ col("_action")): _*)
+          .drop("_action")
+          .repartition(col("_bucket"))
+          .sortWithinPartitions(col(key))
+          .write.partitionBy("_bucket")
+          .parquet(table.absolute(snapDirRel))
+
+        val newFiles = table.listDataFiles(snapDirRel, cur.schemaVersion, spark)
+        val carried = meta.currentSnapshot
+          .map(_.files.filterNot(f => touched.contains(f.bucket)))
+          .getOrElse(Nil)
+        val srcRow = obsSrc.get; val mergeRow = obsMerge.get
+        val snap = Snapshot(
+          snapshotId = snapId, parentId = meta.currentSnapshotId,
+          stepId = stepId, batchId = batchId,
+          lsnMin = g(srcRow, "lsnMin"), lsnMax = g(srcRow, "lsnMax"),
+          rowsInserted = g(mergeRow, "inserted"),
+          rowsUpdated = g(mergeRow, "updated"),
+          rowsDeleted = g(mergeRow, "deleted"),
+          schemaVersion = cur.schemaVersion,
+          files = carried ++ newFiles)
+        table.commit(meta.copy(version = meta.version + 1,
+          currentSnapshotId = Some(snapId),
+          snapshots = meta.snapshots :+ snap))
+        MergeStats(batchId, snapId, skipped = false,
+          snap.rowsInserted, snap.rowsUpdated, snap.rowsDeleted,
+          g(mergeRow, "late"))
+    }
+  }
+
+  /** Fold all delta files into base files: one LWW reconciliation + rewrite
+    * of buckets that have deltas. Run periodically (every K batches) so read
+    * amplification stays bounded; batchId = -snapshotId marks compactions in
+    * the lineage (they apply no new events).
+    *
+    * Tombstones are RETAINED in base by default (reads filter them): purging
+    * is only safe once no event below the tombstone's LSN can still arrive —
+    * pass `purgeTombstones = true` when the source guarantees LSN-contiguous
+    * delivery up to the low watermark (a binlog tail does). */
+  def compact(spark: SparkSession, table: LakeTable,
+      stepId: String = "compaction",
+      purgeTombstones: Boolean = false): Option[Long] = {
+    val meta = table.metadata
+    val snap = meta.currentSnapshot.getOrElse(return None)
+    val deltaBuckets = snap.files.filter(_.kind == "delta").map(_.bucket).toSet
+    if (deltaBuckets.isEmpty) return None
+    val key = meta.bucketColumn
+    val b = meta.numBuckets
+
+    // reconciled state of delta-bearing buckets
+    val state = table
+      .read(spark, Some(deltaBuckets), includeTombstones = !purgeTombstones)
+      .withColumn("_bucket", pmod(xxhash64(col(key)), lit(b)).cast("int"))
+
+    val snapId = snap.snapshotId + 1
     val snapDirRel = s"data/snap-$snapId"
-    result
+    state
       .repartition(col("_bucket"))
       .sortWithinPartitions(col(key))
-      .write
-      .partitionBy("_bucket")
+      .write.partitionBy("_bucket")
       .parquet(table.absolute(snapDirRel))
 
-    val newFiles = table.listDataFiles(snapDirRel, cur.schemaVersion, spark)
-    val carried = meta.currentSnapshot
-      .map(_.files.filterNot(f => touched.contains(f.bucket)))
-      .getOrElse(Nil)
-
-    val srcRow = obsSrc.get
-    val mergeRow = obsMerge.get
-    def g(m: Map[String, Any], k: String): Long = m.get(k) match {
-      case Some(null)       => 0L
-      case Some(l: Long)    => l
-      case Some(i: Int)     => i.toLong
-      case _                => 0L
-    }
-    val snap = Snapshot(
-      snapshotId = snapId,
-      parentId = meta.currentSnapshotId,
-      stepId = stepId,
-      batchId = batchId,
-      lsnMin = g(srcRow, "lsnMin"),
-      lsnMax = g(srcRow, "lsnMax"),
-      rowsInserted = g(mergeRow, "inserted"),
-      rowsUpdated = g(mergeRow, "updated"),
-      rowsDeleted = g(mergeRow, "deleted"),
-      schemaVersion = cur.schemaVersion,
+    val newFiles = table.listDataFiles(snapDirRel, meta.currentSchemaVersion, spark)
+    val carried = snap.files
+      .filterNot(f => deltaBuckets.contains(f.bucket))
+    val s = Snapshot(
+      snapshotId = snapId, parentId = Some(snap.snapshotId),
+      stepId = stepId, batchId = -snapId,
+      lsnMin = -1L, lsnMax = -1L,
+      rowsInserted = 0, rowsUpdated = 0, rowsDeleted = 0,
+      schemaVersion = meta.currentSchemaVersion,
       files = carried ++ newFiles)
-
-    table.commit(meta.copy(
-      version = meta.version + 1,
+    table.commit(meta.copy(version = meta.version + 1,
       currentSnapshotId = Some(snapId),
-      snapshots = meta.snapshots :+ snap))
-
-    MergeStats(batchId, snapId, skipped = false,
-      snap.rowsInserted, snap.rowsUpdated, snap.rowsDeleted, g(mergeRow, "late"))
+      snapshots = meta.snapshots :+ s))
+    Some(snapId)
   }
 }

@@ -1,0 +1,190 @@
+package graft.graph
+
+import graft.lake.LakeTable
+import graft.ops.Checksums
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The step DAG (SURVEY.md §7.1 module `graph`) — the reference's compute
+  * graph (/root/reference/etl/steps/__init__.py:52 `DAG`, dag/main.yml)
+  * re-expressed as a registry of Dataset transforms compiled through
+  * Catalyst.
+  *
+  * Semantics reproduced:
+  *  - topological execution (`to_dependency_order`, steps/__init__.py:101);
+  *  - content-addressed dirtiness: a step's input checksum hashes its code
+  *    version + each upstream output's snapshot id — outputs are pure
+  *    functions of inputs (`DataStep.checksum_input`,
+  *    steps/__init__.py:565-587); a step re-runs only when that checksum
+  *    differs from the one stored in its output table's lineage
+  *    (`is_dirty`, steps/__init__.py:512-532);
+  *  - `--force` / `--only` / `--dry-run` flags (command.py:49-163);
+  *  - subgraph filtering by regex + downstream closure
+  *    (`filter_to_subgraph`, steps/__init__.py:112-172).
+  *
+  * Each step's body builds ONE lazy DataFrame from its inputs, so Catalyst
+  * sees the whole step as a single query (predicate pushdown, column
+  * pruning, join planning all apply across the step).
+  */
+final case class Step(
+    id: String,
+    deps: Seq[String],
+    codeVersion: String, // the reference's code-file checksum analogue
+    run: (SparkSession, Map[String, DataFrame]) => DataFrame
+)
+
+final case class RunReport(
+    executed: Seq[String],
+    skipped: Seq[String],
+    order: Seq[String]
+)
+
+class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8) {
+  private val byId = steps.map(s => s.id -> s).toMap
+  require(byId.size == steps.size, "duplicate step ids")
+
+  /** Kahn topological order; fails on cycles or missing deps. */
+  def topoOrder(subset: Set[String] = byId.keySet): Seq[String] = {
+    val ids = subset
+    ids.flatMap(id => byId(id).deps.filterNot(d => ids.contains(d)))
+      .headOption.foreach(d => throw new IllegalArgumentException(s"missing dep: $d"))
+    val inDeg = scala.collection.mutable.Map(
+      ids.toSeq.map(id => id -> byId(id).deps.count(ids.contains)): _*)
+    val ready = scala.collection.mutable.PriorityQueue(
+      inDeg.filter(_._2 == 0).keys.toSeq: _*)(Ordering[String].reverse)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (ready.nonEmpty) {
+      val id = ready.dequeue()
+      out += id
+      for (s <- ids if byId(s).deps.contains(id)) {
+        inDeg(s) -= 1
+        if (inDeg(s) == 0) ready.enqueue(s)
+      }
+    }
+    if (out.size != ids.size)
+      throw new IllegalArgumentException(
+        s"cycle among: ${ids -- out.toSet}")
+    out.toSeq
+  }
+
+  /** Regex include + downstream closure (filter_to_subgraph analogue). */
+  def select(includeRegex: String, downstream: Boolean = false): Set[String] = {
+    val re = includeRegex.r
+    var sel = byId.keySet.filter(id => re.findFirstIn(id).isDefined)
+    // upstream closure (dependencies always included, like the reference)
+    var grew = true
+    while (grew) {
+      val next = sel ++ sel.flatMap(byId(_).deps)
+      grew = next.size != sel.size; sel = next
+    }
+    if (downstream) {
+      grew = true
+      while (grew) {
+        val next = sel ++ byId.keySet.filter(id =>
+          byId(id).deps.exists(sel.contains))
+        grew = next.size != sel.size; sel = next
+      }
+      // re-close upstream for newly added downstream steps
+      grew = true
+      while (grew) {
+        val next = sel ++ sel.flatMap(byId(_).deps)
+        grew = next.size != sel.size; sel = next
+      }
+    }
+    sel
+  }
+
+  def tableDir(id: String): String = s"$storeDir/${id.replace('/', '_')}"
+  def table(id: String): LakeTable = new LakeTable(tableDir(id))
+
+  /** A step's input checksum: code version + upstream snapshot ids
+    * (checksum_input analogue — Merkle through the DAG because upstream
+    * snapshot ids themselves advance only when their inputs changed). */
+  private def inputChecksum(id: String): String = {
+    val s = byId(id)
+    val parts = s.codeVersion +: s.deps.sorted.map { d =>
+      val t = table(d)
+      s"$d=${if (t.exists) t.metadata.currentSnapshotId.getOrElse(-1L) else -1L}"
+    }
+    Checksums.md5Hex(parts.mkString("|"))
+  }
+
+  private def storedChecksum(id: String): Option[String] = {
+    val t = table(id)
+    if (!t.exists) None
+    else t.metadata.currentSnapshot.flatMap(_.inputSnapshots.get("__input_checksum__"))
+      .map(_.toString)
+      .orElse(None)
+  }
+
+  // input checksums are persisted in the snapshot lineage map under a
+  // reserved key, numeric-encoded (the map is String -> Long)
+  private def checksumKey(c: String): Long =
+    java.lang.Long.parseUnsignedLong(c.take(15), 16)
+
+  def isDirty(id: String): Boolean = {
+    val t = table(id)
+    if (!t.exists || t.metadata.currentSnapshotId.isEmpty) return true
+    val stored = t.metadata.currentSnapshot
+      .flatMap(_.inputSnapshots.get("__input_checksum__"))
+    !stored.contains(checksumKey(inputChecksum(id)))
+  }
+
+  /** Execute (dirty steps only unless force), in topo order. Each step's
+    * output is committed to its lake table with the input checksum recorded
+    * in the snapshot lineage — the `source_checksum` stamp
+    * (steps/__init__.py:501-504). */
+  def run(
+      spark: SparkSession,
+      includeRegex: String = ".*",
+      force: Boolean = false,
+      dryRun: Boolean = false,
+      downstream: Boolean = false
+  ): RunReport = {
+    val order = topoOrder(select(includeRegex, downstream))
+    val executed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (id <- order) {
+      val dirty = force || isDirty(id)
+      if (!dirty) skipped += id
+      else if (!dryRun) {
+        val s = byId(id)
+        val inputs = s.deps.map(d => d -> table(d).read(spark)).toMap
+        val out = s.run(spark, inputs)
+        writeOutput(spark, id, out)
+        executed += id
+      } else executed += id
+    }
+    RunReport(executed.toSeq, skipped.toSeq, order)
+  }
+
+  private def writeOutput(spark: SparkSession, id: String, df: DataFrame): Unit = {
+    import graft.lake._
+    import org.apache.spark.sql.functions._
+    val t = table(id)
+    if (!t.exists) {
+      val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+        LakeField(i + 1, f.name, f.dataType.sql.toLowerCase, f.nullable)
+      }
+      t.create(fields.toSeq, numBuckets, df.columns.head)
+    }
+    val meta = t.metadata
+    val snapId = meta.currentSnapshotId.getOrElse(0L) + 1
+    val snapDirRel = s"data/snap-$snapId"
+    df.withColumn("_bucket",
+        pmod(xxhash64(col(meta.bucketColumn)), lit(meta.numBuckets)).cast("int"))
+      .repartition(col("_bucket"))
+      .write.partitionBy("_bucket")
+      .parquet(t.absolute(snapDirRel))
+    val files = t.listDataFiles(snapDirRel, meta.currentSchemaVersion, spark)
+    val snap = Snapshot(
+      snapshotId = snapId, parentId = meta.currentSnapshotId,
+      stepId = id, batchId = snapId,
+      lsnMin = -1, lsnMax = -1,
+      rowsInserted = 0, rowsUpdated = 0, rowsDeleted = 0,
+      schemaVersion = meta.currentSchemaVersion,
+      files = files,
+      inputSnapshots = Map("__input_checksum__" -> checksumKey(inputChecksum(id))))
+    t.commit(meta.copy(version = meta.version + 1,
+      currentSnapshotId = Some(snapId), snapshots = meta.snapshots :+ snap))
+  }
+}

@@ -50,7 +50,11 @@ final case class LakeSchema(schemaVersion: Int, fields: Seq[LakeField]) {
   def byId: Map[Int, LakeField] = fields.map(f => f.id -> f).toMap
 }
 
-final case class DataFile(path: String, bucket: Int, rows: Long, schemaVersion: Int)
+/** `kind` ∈ base|delta: base files hold reconciled state; delta files hold
+  * LWW rows (incl. tombstones) appended by merge-on-read commits and folded
+  * into base by compaction. */
+final case class DataFile(path: String, bucket: Int, rows: Long,
+    schemaVersion: Int, kind: String = "base")
 
 final case class Snapshot(
     snapshotId: Long,
@@ -67,6 +71,9 @@ final case class Snapshot(
     inputSnapshots: Map[String, Long] = Map.empty // upstream table → snapshotId (lineage)
 )
 
+/** `lwwColumn`/`tombstoneColumn`: when set, the table is a primary-key LWW
+  * table (à la a sequence-field + delete-flag table): reads reconcile
+  * base+delta rows by max(lwwColumn) per key and filter tombstones. */
 final case class TableMetadata(
     version: Int,
     numBuckets: Int,
@@ -74,7 +81,9 @@ final case class TableMetadata(
     schemas: Seq[LakeSchema],
     currentSchemaVersion: Int,
     currentSnapshotId: Option[Long],
-    snapshots: Seq[Snapshot]
+    snapshots: Seq[Snapshot],
+    lwwColumn: Option[String] = None,
+    tombstoneColumn: Option[String] = None
 ) {
   def currentSchema: LakeSchema =
     schemas.find(_.schemaVersion == currentSchemaVersion).get
@@ -96,7 +105,9 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
 
   // -------------------------------------------------------------- create
 
-  def create(fields: Seq[LakeField], numBuckets: Int, bucketColumn: String): Unit = {
+  def create(fields: Seq[LakeField], numBuckets: Int, bucketColumn: String,
+      lwwColumn: Option[String] = None,
+      tombstoneColumn: Option[String] = None): Unit = {
     require(!exists, s"table already exists at $dir")
     val meta = TableMetadata(
       version = 1,
@@ -105,7 +116,9 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
       schemas = Seq(LakeSchema(1, fields)),
       currentSchemaVersion = 1,
       currentSnapshotId = None,
-      snapshots = Nil)
+      snapshots = Nil,
+      lwwColumn = lwwColumn,
+      tombstoneColumn = tombstoneColumn)
     fs.mkdirs(metaDir)
     writeMetadata(meta)
   }
@@ -168,15 +181,40 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
 
   // -------------------------------------------------------------- read path
 
-  /** Read the current snapshot. Old-schema files are projected to the
-    * current schema by field-ID (rename-safe, add-safe). Optionally prune to
-    * a bucket subset (manifest-level file pruning — the merge fast path). */
-  def read(spark: SparkSession, buckets: Option[Set[Int]] = None): DataFrame = {
+  /** Read the current snapshot's reconciled state: field-ID projection of
+    * every file (rename/add-safe), LWW reconciliation across base+delta rows
+    * when the table is a primary-key LWW table, tombstones filtered.
+    * `buckets` prunes at the manifest level (the merge fast path). */
+  def read(spark: SparkSession, buckets: Option[Set[Int]] = None,
+      includeTombstones: Boolean = false): DataFrame = {
     val m = metadata
-    val cur = m.currentSchema
-    val snap = m.currentSnapshot
-    val files = snap.map(_.files).getOrElse(Nil)
+    val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
       .filter(f => buckets.forall(_.contains(f.bucket)))
+    val raw = readRaw(spark, m, files)
+    val hasDelta = files.exists(_.kind == "delta")
+    val reconciled = m.lwwColumn match {
+      case Some(lww) if hasDelta =>
+        // delta rows present: latest writer per key wins (one declarative
+        // aggregation — map-side combine bounds hot keys)
+        val key = m.bucketColumn
+        val payloadCols = m.currentSchema.fields.map(_.name).filterNot(_ == key)
+        val payload = struct(payloadCols.map(col): _*)
+        raw.groupBy(col(key))
+          .agg(max_by(payload, col(lww)).as("__p"))
+          .select(col(key) +: payloadCols.map(c => col(s"__p.$c").as(c)): _*)
+      case _ => raw
+    }
+    m.tombstoneColumn match {
+      case Some(ts) if !includeTombstones =>
+        reconciled.filter(!coalesce(col(ts), lit(false)))
+      case _ => reconciled
+    }
+  }
+
+  /** Raw rows of the given files projected to the current schema by
+    * field-ID — no reconciliation (the compaction/merge input path). */
+  def readRaw(spark: SparkSession, m: TableMetadata, files: Seq[DataFile]): DataFrame = {
+    val cur = m.currentSchema
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur.toStruct)
@@ -204,7 +242,8 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
 
   /** List parquet files under a snapshot data dir, with bucket parsed from
     * the `_bucket=<k>` partition dir. */
-  def listDataFiles(snapDirRel: String, schemaVersion: Int, spark: SparkSession): Seq[DataFile] = {
+  def listDataFiles(snapDirRel: String, schemaVersion: Int, spark: SparkSession,
+      kind: String = "base"): Seq[DataFile] = {
     val snapDir = new Path(root, snapDirRel)
     if (!fs.exists(snapDir)) return Nil
     val it = fs.listFiles(snapDir, true)
@@ -218,7 +257,7 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
           case _                             => -1
         }
         val rel = p.toString.stripPrefix(root.toString).stripPrefix("/")
-        out += DataFile(rel, bucket, -1L, schemaVersion)
+        out += DataFile(rel, bucket, -1L, schemaVersion, kind)
       }
     }
     out.toSeq
@@ -261,6 +300,8 @@ object LakeTable {
     rootN.put("bucketColumn", m.bucketColumn)
     rootN.put("currentSchemaVersion", m.currentSchemaVersion)
     m.currentSnapshotId.foreach(rootN.put("currentSnapshotId", _))
+    m.lwwColumn.foreach(rootN.put("lwwColumn", _))
+    m.tombstoneColumn.foreach(rootN.put("tombstoneColumn", _))
     val schemasN = rootN.putArray("schemas")
     m.schemas.foreach { s =>
       val sn = schemasN.addObject()
@@ -288,6 +329,7 @@ object LakeTable {
         val fo = filesN.addObject()
         fo.put("path", f.path); fo.put("bucket", f.bucket)
         fo.put("rows", f.rows); fo.put("schemaVersion", f.schemaVersion)
+        fo.put("kind", f.kind)
       }
       val inN = o.putObject("inputSnapshots")
       s.inputSnapshots.foreach { case (k, v) => inN.put(k, v) }
@@ -318,7 +360,8 @@ object LakeTable {
         s.get("schemaVersion").asInt(),
         arr(s, "files").map(f =>
           DataFile(f.get("path").asText(), f.get("bucket").asInt(),
-            f.get("rows").asLong(), f.get("schemaVersion").asInt())),
+            f.get("rows").asLong(), f.get("schemaVersion").asInt(),
+            Option(f.get("kind")).map(_.asText()).getOrElse("base"))),
         Option(s.get("inputSnapshots")).map { in =>
           in.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
         }.getOrElse(Map.empty)
@@ -331,6 +374,8 @@ object LakeTable {
       schemas,
       n.get("currentSchemaVersion").asInt(),
       Option(n.get("currentSnapshotId")).map(_.asLong()),
-      snaps)
+      snaps,
+      Option(n.get("lwwColumn")).map(_.asText()),
+      Option(n.get("tombstoneColumn")).map(_.asText()))
   }
 }

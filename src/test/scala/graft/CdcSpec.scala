@@ -55,11 +55,12 @@ class CdcSpec extends SparkSpec {
     assert(checksum(table.read(spark)) == before)
   }
 
-  test("LWW: within and across batches, highest LSN wins; delete removes") {
-    import spark.implicits._
-    val ts = new java.sql.Timestamp(0L)
-    def ev(lsn: Long, op: String, url: String, text: String) =
-      graft.model.ChangeEvent(lsn, op, url, ts, Array.emptyByteArray, text, "en")
+  import spark.implicits._
+  private val ts0 = new java.sql.Timestamp(0L)
+  private def ev(lsn: Long, op: String, url: String, text: String) =
+    graft.model.ChangeEvent(lsn, op, url, ts0, Array.emptyByteArray, text, "en")
+
+  test("LWW (copy-on-write): highest LSN wins; delete tombstones; late discarded") {
     val b0 = Seq(
       ev(1, "I", "u1", "v1"), ev(2, "U", "u1", "v2"),
       ev(3, "I", "u2", "w1"), ev(4, "I", "u3", "x1")).toDS.toDF
@@ -67,18 +68,83 @@ class CdcSpec extends SparkSpec {
       ev(5, "D", "u2", null), // delete existing
       ev(0, "U", "u1", "stale"), // late event, lower LSN than applied (2)
       ev(6, "U", "u3", "x2"),
-      ev(7, "D", "u9", null) // delete of never-seen key = noop
+      ev(7, "D", "u9", null) // delete of never-seen key → tombstone only
     ).toDS.toDF
 
     val table = Engine.createPagesTable(tmpDir("lake3") + "/pages", numBuckets = 4)
-    val s0 = MergeApply(spark, table, b0, 0L)
+    val s0 = MergeApply(spark, table, b0, 0L, mode = MergeApply.CopyOnWrite)
     assert(s0.inserted == 3 && s0.updated == 0 && s0.deleted == 0)
-    val s1 = MergeApply(spark, table, b1, 1L)
+    val s1 = MergeApply(spark, table, b1, 1L, mode = MergeApply.CopyOnWrite)
     assert(s1.deleted == 1 && s1.updated == 1 && s1.keptLate == 1)
 
     val out = table.read(spark).select("url", "text", "_lsn")
       .as[(String, String, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq(("u1", "v2", 2L), ("u3", "x2", 6L)))
+  }
+
+  test("tombstones guard against lower-LSN events in LATER batches (both modes)") {
+    // batch0 carries the delete (lsn 5); batch1 carries an older update
+    // (lsn 3) — the final state must stay deleted (max-LSN reduction)
+    val b0 = Seq(ev(1, "I", "u1", "v1"), ev(5, "D", "u1", null)).toDS.toDF
+    val b1 = Seq(ev(3, "U", "u1", "zombie")).toDS.toDF
+    for (mode <- Seq(MergeApply.CopyOnWrite, MergeApply.MergeOnRead)) {
+      val table = Engine.createPagesTable(
+        tmpDir(s"lake-ts-$mode") + "/pages", numBuckets = 2)
+      MergeApply(spark, table, b0, 0L, mode = mode)
+      MergeApply(spark, table, b1, 1L, mode = mode)
+      assert(table.read(spark).count() == 0, s"mode=$mode")
+      // compaction (keeping tombstones) must not change visible state
+      MergeApply.compact(spark, table)
+      assert(table.read(spark).count() == 0, s"mode=$mode after compact")
+    }
+  }
+
+  test("merge-on-read ≡ copy-on-write ≡ golden, with mid-replay compaction") {
+    val cfg = EventGen.Config(nEvents = 12000, nUrls = 800, seed = 31,
+      deleteRatio = 0.15, parallelism = 4)
+    val walDir = tmpDir("wal-mor")
+    val segs = EventGen.writeWalSegments(spark, cfg, walDir, 4)
+    val events = spark.read.schema(Engine.eventSchema).parquet(walDir + "/*")
+    val want = checksum(Engine.goldenFinalState(events))
+
+    val mor = Engine.createPagesTable(tmpDir("lake-mor") + "/pages", 4)
+    Engine.replaySegments(spark, segs, mor,
+      mode = MergeApply.MergeOnRead, compactEvery = 2)
+    assert(checksum(mor.read(spark)) == want)
+
+    // compaction folds deltas into base files; state unchanged
+    MergeApply.compact(spark, mor)
+    val m = mor.metadata
+    assert(m.currentSnapshot.get.files.forall(_.kind == "base"))
+    assert(checksum(mor.read(spark)) == want)
+
+    val cow = Engine.createPagesTable(tmpDir("lake-cow") + "/pages", 4)
+    Engine.replaySegments(spark, segs, cow, mode = MergeApply.CopyOnWrite)
+    assert(checksum(cow.read(spark)) == want)
+  }
+
+  test("property: any batch split of the same log converges to the golden state") {
+    val rnd = new scala.util.Random(97)
+    val n = 600
+    val evs = (0 until n).map { i =>
+      val url = s"u${rnd.nextInt(60)}"
+      val op = rnd.nextInt(10) match { case 0 | 1 => "D"; case 2 => "I"; case _ => "U" }
+      ev(i.toLong, op, url, s"t$i")
+    }
+    // shuffle events across batches arbitrarily (NOT LSN-contiguous): the
+    // tombstone+LWW design must still converge
+    val shuffled = rnd.shuffle(evs)
+    val cuts = Seq(0, 150, 360, n)
+    val golden = checksum(Engine.goldenFinalState(evs.toDS.toDF))
+    for (mode <- Seq(MergeApply.CopyOnWrite, MergeApply.MergeOnRead)) {
+      val table = Engine.createPagesTable(
+        tmpDir(s"lake-prop-$mode") + "/pages", numBuckets = 4)
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+        MergeApply(spark, table, shuffled.slice(a, b).toDS.toDF, i.toLong,
+          mode = mode)
+      }
+      assert(checksum(table.read(spark)) == golden, s"mode=$mode")
+    }
   }
 
   test("per-url invariant: extractText(html) == text byte-identically") {

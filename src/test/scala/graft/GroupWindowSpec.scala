@@ -1,0 +1,161 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Grouped-aggregation and window-op unit tests mirroring the reference's
+  * groupby_agg NaN-budget suite (/root/reference/lib/datautils/owid/
+  * datautils/dataframes.py:310-482 tests) and misc interpolation/expansion
+  * (/root/reference/etl/data_helpers/misc.py:77-376). */
+class GroupWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val gaps = Seq[(String, Int, Option[Double])](
+    ("usa", 2000, Some(10.0)), ("usa", 2001, None), ("usa", 2002, None),
+    ("usa", 2003, Some(40.0)), ("usa", 2005, Some(60.0)),
+    ("fra", 2000, None), ("fra", 2001, Some(5.0)), ("fra", 2002, None)
+  ).toDF("country", "year", "v")
+
+  test("groupbyAgg: numAllowedNans nulls the violating group") {
+    val out = GroupOps.groupbyAgg(gaps, Seq("country"), Seq("v"), "sum",
+        GroupOps.NanBudget(numAllowedNans = Some(1)))
+      .as[(String, Option[Double])].collect().toMap
+    assert(out("usa").isEmpty) // 2 nulls > 1 allowed
+    assert(out("fra").isEmpty) // 2 nulls > 1 allowed
+    val loose = GroupOps.groupbyAgg(gaps, Seq("country"), Seq("v"), "sum",
+        GroupOps.NanBudget(numAllowedNans = Some(2)))
+      .as[(String, Option[Double])].collect().toMap
+    assert(loose("usa").contains(110.0) && loose("fra").contains(5.0))
+  }
+
+  test("groupbyAgg: fracAllowedNans and minNumValues rules") {
+    val frac = GroupOps.groupbyAgg(gaps, Seq("country"), Seq("v"), "mean",
+        GroupOps.NanBudget(fracAllowedNans = Some(0.5)))
+      .as[(String, Option[Double])].collect().toMap
+    assert(frac("usa").isDefined) // 2/5 = 0.4 <= 0.5
+    assert(frac("fra").isEmpty)   // 2/3 > 0.5
+    val minv = GroupOps.groupbyAgg(gaps, Seq("country"), Seq("v"), "max",
+        GroupOps.NanBudget(minNumValues = Some(2)))
+      .as[(String, Option[Double])].collect().toMap
+    assert(minv("usa").contains(60.0) && minv("fra").isEmpty)
+  }
+
+  test("weighted mean ignores rows with null value or weight") {
+    val df = Seq[(String, Option[Double], Option[Double])](
+      ("a", Some(10.0), Some(1.0)), ("a", Some(20.0), Some(3.0)),
+      ("a", None, Some(9.0)), ("a", Some(99.0), None)
+    ).toDF("k", "v", "w")
+    val got = df.groupBy("k")
+      .agg(GroupOps.weightedMeanExpr("v", "w").as("wm"))
+      .as[(String, Double)].collect().head._2
+    assert(math.abs(got - (10 * 1 + 20 * 3) / 4.0) < 1e-12)
+  }
+
+  test("region aggregates: roll-up, replace semantics, must-have nulling") {
+    val df = Seq(
+      ("usa", 2020, 10.0), ("can", 2020, 5.0), ("fra", 2020, 3.0),
+      ("north_america", 2020, 999.0) // stale region row must be replaced
+    ).toDF("country", "year", "v")
+    val members = Seq(
+      ("north_america", "usa"), ("north_america", "can"),
+      ("europe", "fra"), ("europe", "deu")
+    ).toDF("region", "member")
+    val out = GroupOps.addRegionAggregates(df, "country", Seq("year"),
+        Seq("v"), members,
+        mustHave = Map("europe" -> Seq("deu")))
+      .as[(String, Int, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out("north_america").contains(15.0)) // stale 999 replaced
+    assert(out("europe").isEmpty) // deu missing → nulled
+    assert(out("usa").contains(10.0))
+  }
+
+  test("per capita divides by joined population") {
+    val pop = Seq(("usa", 2020, 4.0)).toDF("country", "year", "population")
+    val df = Seq(("usa", 2020, 100.0)).toDF("country", "year", "gdp")
+    val out = GroupOps.addPerCapita(df, pop, Seq("country", "year"), Seq("gdp"))
+    assert(out.select("gdp_per_capita").as[Double].collect().head == 25.0)
+    assert(!out.columns.contains("population"))
+  }
+
+  test("rollingMean honors window and minPeriods") {
+    val df = (1 to 10).map(i => ("a", i, i.toDouble)).toDF("k", "t", "v")
+    val out = WindowOps.rollingMean(df, Seq("k"), "t", Seq("v"), window = 3,
+        minPeriods = 3)
+      .orderBy("t").select("v_rolling").as[Option[Double]].collect()
+    assert(out(0).isEmpty && out(1).isEmpty)
+    assert(out(2).contains(2.0) && out(9).contains(9.0))
+  }
+
+  test("pctChange and cumsum") {
+    val df = Seq(("a", 1, 100.0), ("a", 2, 110.0), ("a", 3, 55.0))
+      .toDF("k", "t", "v")
+    val pct = WindowOps.pctChange(df, Seq("k"), "t", "v")
+      .orderBy("t").select("v_pct_change").as[Option[Double]].collect()
+    assert(pct(0).isEmpty)
+    assert(math.abs(pct(1).get - 0.1) < 1e-12)
+    assert(math.abs(pct(2).get + 0.5) < 1e-12)
+    val cum = WindowOps.cumsum(df, Seq("k"), "t", "v")
+      .orderBy("t").select("v_cumsum").as[Double].collect()
+    assert(cum.toSeq == Seq(100.0, 210.0, 265.0))
+  }
+
+  test("ffill/bfill fill within group only") {
+    val out = WindowOps.ffill(gaps, Seq("country"), "year", Seq("v"))
+      .orderBy("country", "year").as[(String, Int, Option[Double])].collect()
+    val fra = out.filter(_._1 == "fra").map(_._3)
+    assert(fra.toSeq == Seq(None, Some(5.0), Some(5.0))) // leading gap stays
+    val usa = out.filter(_._1 == "usa").map(_._3)
+    assert(usa.toSeq == Seq(Some(10.0), Some(10.0), Some(10.0), Some(40.0), Some(60.0)))
+  }
+
+  test("interpolate: linear interior fill, time-weighted") {
+    val out = WindowOps.interpolate(gaps, Seq("country"), "year", "v")
+      .orderBy("country", "year").as[(String, Int, Option[Double])].collect()
+    val usa = out.filter(_._1 == "usa").map(_._3)
+    assert(usa.toSeq == Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0), Some(60.0)))
+    val fra = out.filter(_._1 == "fra").map(_._3)
+    assert(fra.toSeq == Seq(None, Some(5.0), None)) // edges stay null
+  }
+
+  test("expandTimeColumn densifies per entity") {
+    val out = WindowOps.expandTimeColumn(
+        gaps.filter($"v".isNotNull), Seq("country"), "year")
+      .orderBy("country", "year")
+      .as[(String, Int, Option[Double])].collect()
+    assert(out.count(_._1 == "usa") == 6) // 2000..2005
+    assert(out.filter(_._1 == "usa").map(_._2).toSeq == (2000 to 2005))
+    assert(out.count(_._1 == "fra") == 1)
+  }
+
+  test("explodeByTimeRange scales values by range length") {
+    val df = Seq((1L, 2000, 2002, 10.0)).toDF("id", "y0", "y1", "v")
+    val out = WindowOps.explodeByTimeRange(df, "y0", "y1", "yr", Seq("v"), scale = true)
+      .orderBy("yr").as[(Long, Double, Int)].collect()
+    assert(out.map(_._3).toSeq == Seq(2000, 2001))
+    assert(out.forall(_._2 == 5.0))
+  }
+
+  test("reshape: melt→pivot round-trip") {
+    val wide = Seq(("usa", 2020, 1.0, 2.0)).toDF("c", "y", "gdp", "pop")
+    val long = Reshape.melt(wide, Seq("c", "y"), Seq("gdp", "pop"))
+    assert(long.count() == 2)
+    val back = Reshape.pivot(long, Seq("c", "y"), "variable", "value",
+      Seq("gdp", "pop"))
+    assert(back.columns.toSet == Set("c", "y", "gdp", "pop"))
+    assert(back.select("gdp", "pop").as[(Double, Double)].collect().head == ((1.0, 2.0)))
+  }
+
+  test("longToWide builds var__dim names and rejects collisions") {
+    val long = Seq(
+      ("usa", 2020, "male", 1.0), ("usa", 2020, "female", 2.0)
+    ).toDF("c", "y", "sex", "deaths")
+    val wide = Reshape.longToWide(long, Seq("c", "y"), Seq("sex"), "deaths",
+      Seq(Seq("male", "female")))
+    assert(wide.columns.toSet == Set("c", "y", "deaths__male", "deaths__female"))
+    intercept[IllegalArgumentException] {
+      Reshape.longToWide(long, Seq("c", "y"), Seq("sex"), "deaths",
+        Seq(Seq("x y", "x_y"))) // collides after underscore
+    }
+  }
+}

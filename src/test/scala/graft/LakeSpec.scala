@@ -1,0 +1,69 @@
+package graft
+
+import graft.lake._
+
+/** Lake-format unit tests: metadata round-trip, atomic commit discipline,
+  * single-writer conflict detection (mirrors the reference's crash-safe
+  * rename-aside writes, /root/reference/etl/steps/__init__.py:435-459). */
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  def fields = Seq(
+    LakeField(1, "k", "string", nullable = false),
+    LakeField(2, "v", "double"),
+    LakeField(3, "_lsn", "bigint"),
+    LakeField(4, "_deleted", "boolean"))
+
+  test("metadata json round-trips exactly") {
+    val m = TableMetadata(
+      version = 3, numBuckets = 8, bucketColumn = "k",
+      schemas = Seq(LakeSchema(1, fields), LakeSchema(2,
+        fields.map(f => if (f.id == 2) f.copy(name = "v2") else f))),
+      currentSchemaVersion = 2,
+      currentSnapshotId = Some(7),
+      snapshots = Seq(Snapshot(7, Some(6), "s", 4, 100, 200, 10, 2, 1, 2,
+        Seq(DataFile("data/x.parquet", 3, 42, 1, "delta")),
+        Map("up" -> 9L))),
+      lwwColumn = Some("_lsn"), tombstoneColumn = Some("_deleted"))
+    assert(LakeTable.parseMetadata(LakeTable.renderMetadata(m)) == m)
+  }
+
+  test("create/commit/version-hint swap; concurrent writer detected") {
+    val t = new LakeTable(tmpDir("lake-a") + "/t")
+    t.create(fields, 4, "k", Some("_lsn"), Some("_deleted"))
+    assert(t.exists && t.metadata.version == 1)
+    val m = t.metadata
+    t.commit(m.copy(version = 2))
+    assert(t.metadata.version == 2)
+    // a second writer trying to commit the same next version must fail
+    intercept[IllegalArgumentException] {
+      t.commit(m.copy(version = 2))
+    }
+    // reader still sees a consistent table
+    assert(t.metadata.version == 2)
+  }
+
+  test("empty table reads as empty with the declared schema") {
+    val t = new LakeTable(tmpDir("lake-b") + "/t")
+    t.create(fields, 4, "k", Some("_lsn"), Some("_deleted"))
+    val df = t.read(spark)
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("k", "v", "_lsn", "_deleted"))
+  }
+
+  test("interleaved reader during commits sees only committed snapshots") {
+    val dir = tmpDir("lake-c") + "/pages"
+    val table = cdc.Engine.createPagesTable(dir, 2)
+    val reader = new LakeTable(dir)
+    def evd(lsn: Long, url: String) = graft.model.ChangeEvent(
+      lsn, "U", url, new java.sql.Timestamp(0), Array.emptyByteArray, "t", "en")
+    for (i <- 0 until 5) {
+      val before = reader.metadata.currentSnapshotId
+      cdc.MergeApply(spark, table,
+        Seq(evd(i.toLong, s"u$i")).toDS.toDF, i.toLong)
+      val after = reader.metadata.currentSnapshotId
+      assert(after.exists(a => a == before.getOrElse(0L) + 1))
+      assert(reader.read(spark).count() == i + 1)
+    }
+  }
+}

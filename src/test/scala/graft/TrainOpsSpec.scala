@@ -1,0 +1,127 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.{Ann, Dedup, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text-analysis / multimodal operator tests with
+  * planted ground truth. */
+class TrainOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted corpus: (1,2) near-dup (one word changed), (3) unrelated,
+  // (4) exact dup of 1
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "completely different words about spark catalyst optimizer plans"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val g = Dedup.exactDedupGroups(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    assert(g.length == 3)
+    val dup = g.find(_._3 == 2).get
+    assert(dup._2 == 1L) // keeps the lowest id
+  }
+
+  test("ngram jaccard finds the planted near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup → jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates contain the near-dup, not the unrelated doc") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3)
+    val pairs = Dedup.minhashLshPairs(sig, "doc_id", 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // md5-based variant agrees on the exact-dup pair
+    val sigMd5 = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3, md5Based = true)
+    assert(Dedup.minhashLshPairs(sigMd5, "doc_id", 8, 4)
+      .as[(Long, Long)].collect().toSet.contains((1L, 4L)))
+  }
+
+  test("simhash: identical texts equal, near-dups close in hamming") {
+    val sh = Dedup.simhash(docs, "doc_id", "text", 16)
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) <= hamming(sh(1L), sh(3L)))
+  }
+
+  test("ANN: brute-force top-k ranks by cosine; IVF prunes to cells") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f), 0), (1L, Array(0.9f, 0.1f, 0f), 0),
+      (2L, Array(0f, 1f, 0f), 0), (3L, Array(-1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Ann.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs,
+        "vec_id", "embedding", 2)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    assert(top.map(_._2).toSeq == Seq(1L, 2L))
+    val ivf = Ann.ivfTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id",
+        "embedding", "label", 3)
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.map(_._2).toSet == Set(1L, 2L)) // cell 1 (vec 3) pruned away
+  }
+
+  test("ANN: LSH buckets are deterministic and self-consistent") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(1f)), (1L, Array.fill(8)(1f)),
+      (2L, Array.fill(8)(-1f))
+    ).toDF("vec_id", "embedding")
+    val b = vecs.select(col("vec_id"),
+        Ann.lshBucket(col("embedding"), 8, 4).as("bucket"))
+      .as[(Long, Int)].collect().toMap
+    assert(b(0L) == b(1L)) // identical vectors share a bucket
+    val found = Ann.lshTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id",
+        "embedding", 5, 8, 4)
+      .as[(Long, Long, Double)].collect()
+    assert(found.map(_._2).contains(1L))
+  }
+
+  test("text analysis: langId, quality, token counts, fingerprint") {
+    val df = Seq((1L, "the cat and the dog of a house"),
+      (2L, "el perro y la casa de el gato")).toDF("doc_id", "text")
+    val pred = df.select(col("doc_id"), TextAnalysis.langPred(
+        TextAnalysis.markerCount(col("text"), TextAnalysis.markers(0)._2),
+        TextAnalysis.markerCount(col("text"), TextAnalysis.markers(1)._2),
+        TextAnalysis.markerCount(col("text"), TextAnalysis.markers(2)._2))
+        .as("pred"))
+      .as[(Long, String)].collect().toMap
+    assert(pred(1L) == "en" && pred(2L) == "es")
+
+    val counts = df.select(
+        TextAnalysis.wsTokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
+      .as[(Int, Int)].collect()
+    assert(counts(0) == ((8, 8)))
+
+    val q = df.select(TextAnalysis.qualityScore(col("text"))).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+
+    val fp = Seq("A  B", "a b").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fp(0) == fp(1)) // case + whitespace normalized
+  }
+
+  test("multimodal: binary plumbing with stubbed decode is deterministic") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "text/utf-8", "hello world".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "image/fake", Array.fill[Byte](600)(7))
+    ).toDS
+    val f = Multimodal.extractFeatures(spark, media)
+      .collect().sortBy(_.id)
+    assert(f(0).n_bytes == 11 && f(0).n_frames == 1)
+    assert(f(1).n_bytes == 600 && f(1).n_frames == 3)
+    assert(f.forall(x => x.width >= 64 && x.height >= 64))
+    // determinism across runs
+    val f2 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.id)
+    assert(f.toSeq == f2.toSeq)
+  }
+}
