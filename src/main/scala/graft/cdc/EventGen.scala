@@ -34,8 +34,9 @@ object EventGen {
       insertRatio: Double = 0.35,
       skew: Double = 2.0, // power-law exponent for domain popularity
       lateFraction: Double = 0.1,
-      minWords: Int = 10,
-      maxWords: Int = 40,
+      // Common-Crawl-realistic page sizes: a few KB of text per page
+      minWords: Int = 120,
+      maxWords: Int = 480,
       parallelism: Int = 32
   )
 

@@ -87,8 +87,14 @@ object MergeApply {
           .groupBy(col(key)).agg(max(col("lsn")).as("lsn"))
       else
         batch.groupBy(col(key)).agg(max(col("lsn")).as("lsn"))
+    // broadcast the slim (key, maxLsn) side: micro-batches are bounded, so
+    // its size is bounded by batch key-cardinality × ~60B — the payload
+    // side then never shuffles at all (measured: shuffled semi joins
+    // anti-scale under local-mode shuffle contention)
+    val joinStrategy = sys.env.getOrElse("SPARK_GRAFT_DEDUP_JOIN", "broadcast")
+    val rhs = if (joinStrategy == "auto") maxLsn else maxLsn.hint(joinStrategy)
     batch
-      .join(maxLsn, Seq(key, "lsn"), "left_semi")
+      .join(rhs, Seq(key, "lsn"), "left_semi")
       .select(
         (col(key) +: col("lsn").as("__s_lsn") +: col("op").as("__s_op") +:
           valueCols.map(c => col(c).as(s"__s_$c"))): _*)
@@ -182,6 +188,7 @@ object MergeApply {
         val touched: Set[Int] = source
           .select(pmod(xxhash64(col(key)), lit(b)).cast("int").as("bkt"))
           .distinct().collect().map(_.getInt(0)).toSet
+        dbg(s"touched ${touched.size} buckets")
 
         val target = table.read(spark, Some(touched), includeTombstones = true)
         val joined = target.join(source, Seq(key), "full_outer")
@@ -224,6 +231,7 @@ object MergeApply {
           .sortWithinPartitions(col(key))
           .write.partitionBy("_bucket")
           .parquet(table.absolute(snapDirRel))
+        dbg("cow write done")
 
         val newFiles = table.listDataFiles(snapDirRel, cur.schemaVersion, spark)
         val carried = meta.currentSnapshot

@@ -194,14 +194,21 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
     val hasDelta = files.exists(_.kind == "delta")
     val reconciled = m.lwwColumn match {
       case Some(lww) if hasDelta =>
-        // delta rows present: latest writer per key wins (one declarative
-        // aggregation — map-side combine bounds hot keys)
+        // delta rows present: latest writer per key wins. Shaped as a
+        // fixed-width max aggregation + semi join back on (key, lww) —
+        // HashAggregate + hash semi join; payloads never sort. (The naive
+        // max_by(struct) has a var-width buffer → SortAggregate with two
+        // full-payload sorts.) Correct because (key, lww) pairs are unique:
+        // LSNs are unique in the WAL and batchId dedup prevents re-applied
+        // batches from writing duplicate rows.
+        // broadcast is right while delta key-cardinality is bounded by the
+        // compaction cadence; for very large delta backlogs set
+        // SPARK_GRAFT_DEDUP_JOIN=auto (AQE picks) or compact per-bucket
+        val hint = sys.env.getOrElse("SPARK_GRAFT_DEDUP_JOIN", "broadcast")
         val key = m.bucketColumn
-        val payloadCols = m.currentSchema.fields.map(_.name).filterNot(_ == key)
-        val payload = struct(payloadCols.map(col): _*)
-        raw.groupBy(col(key))
-          .agg(max_by(payload, col(lww)).as("__p"))
-          .select(col(key) +: payloadCols.map(c => col(s"__p.$c").as(c)): _*)
+        val maxL0 = raw.groupBy(col(key)).agg(max(col(lww)).as(lww))
+        val maxL = if (hint == "auto") maxL0 else maxL0.hint(hint)
+        raw.join(maxL, Seq(key, lww), "left_semi")
       case _ => raw
     }
     m.tombstoneColumn match {

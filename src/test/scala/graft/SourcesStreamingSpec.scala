@@ -1,0 +1,129 @@
+package graft
+
+import graft.functions.MathFuncs
+import graft.model.{TableMeta, VariableMeta}
+import graft.sources.TableIO
+import graft.streaming.IngestMetrics
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Table IO sidecars, math scalar functions, and streaming ingest metrics. */
+class SourcesStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("table write/read round-trips data + metadata sidecar") {
+    val df = Seq(("usa", 2020, 1.5), ("usa", 2021, 2.5), ("fra", 2020, 3.0))
+      .toDF("country", "year", "gdp")
+    val meta = TableMeta("gdp_table", Some("GDP"), Seq("country", "year"),
+      Map("gdp" -> VariableMeta(title = Some("GDP"), unit = Some("USD"))))
+    val dir = tmpDir("tio")
+    TableIO.write(df, dir, meta)
+    val (back, metaBack) = TableIO.read(spark, dir, safeTypes = true)
+    assert(metaBack == meta)
+    assert(back.as[(String, Long, Double)].collect().toSet ==
+      df.as[(String, Int, Double)].collect().map(t => (t._1, t._2.toLong, t._3)).toSet)
+  }
+
+  test("write rejects bad names, missing pk, duplicate pk") {
+    val meta = TableMeta("t", primaryKey = Seq("k"))
+    intercept[IllegalArgumentException] {
+      TableIO.write(Seq((1, 2)).toDF("Bad Name", "k"), tmpDir("tio2"), meta)
+    }
+    intercept[IllegalArgumentException] {
+      TableIO.write(Seq((1, 2)).toDF("a", "b"), tmpDir("tio3"), meta)
+    }
+    intercept[IllegalArgumentException] {
+      TableIO.write(Seq((1, 1), (1, 2)).toDF("k", "v"), tmpDir("tio4"), meta)
+    }
+  }
+
+  test("csv format round-trip via sidecar dispatch") {
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+    val dir = tmpDir("tio5")
+    TableIO.write(df, dir, TableMeta("t", primaryKey = Seq("k")),
+      format = "csv", repack = false)
+    val (back, meta) = TableIO.read(spark, dir)
+    assert(meta.shortName == "t")
+    assert(back.count() == 2 && back.columns.toSeq == Seq("k", "n"))
+  }
+
+  test("math funcs: bard, sig figs, power of ten") {
+    val df = Seq((100.0, 101.0), (0.0, 0.0), (12345.0, 12345.0))
+      .toDF("a", "b")
+    val r = df.select(
+      round(MathFuncs.bard($"a", $"b"), 6).as("bard"),
+      MathFuncs.roundToSigFigs($"a", 2).as("sig"),
+      MathFuncs.roundToNearestPowerOfTen($"a").as("p10"))
+      .collect()
+    assert(math.abs(r(0).getDouble(0) - 1.0 / 201.0) < 1e-6)
+    assert(r(2).getDouble(1) == 12000.0)
+    assert(r(2).getDouble(2) == 10000.0)
+    assert(MathFuncs.humanize(2.5e9) == "2.5 billion")
+  }
+
+  test("streaming ingest metrics: watermarked tumbling windows over the WAL") {
+    val cfg = cdc.EventGen.Config(nEvents = 5000, nUrls = 500, seed = 13,
+      parallelism = 4)
+    val walDir = tmpDir("wal-metrics")
+    cdc.EventGen.writeWalSegments(spark, cfg, walDir, 2)
+
+    val stream = spark.readStream.schema(cdc.Engine.eventSchema)
+      .option("recursiveFileLookup", "true").parquet(walDir)
+    val q = IngestMetrics.perWindow(stream, "1 minute")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ingest_metrics")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("ckpt-metrics"))
+      .start()
+    q.awaitTermination()
+
+    val got = spark.sql("SELECT sum(events), sum(deletes) FROM ingest_metrics")
+      .as[(Long, Long)].collect().head
+    assert(got._1 == 5000)
+    // batch-mode parity: same aggregation over the same data
+    val batch = IngestMetrics.perWindow(
+      spark.read.schema(cdc.Engine.eventSchema).parquet(walDir + "/*"))
+    assert(batch.agg(sum($"events")).as[Long].collect().head == 5000)
+    assert(got._2 == batch.agg(sum($"deletes")).as[Long].collect().head)
+  }
+
+  test("session windows group recrawl bursts per url") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000L)
+    val evs = Seq(
+      (1L, "U", "u1", ts(0)), (2L, "U", "u1", ts(60)),   // session A
+      (3L, "U", "u1", ts(3600)),                          // session B (gap)
+      (4L, "U", "u2", ts(0))
+    ).toDF("lsn", "op", "url", "warc_ts")
+    val s = IngestMetrics.updateSessions(evs, gap = "5 minutes")
+      .orderBy("url", "session_start")
+      .select("url", "updates").as[(String, Long)].collect()
+    assert(s.toSeq == Seq(("u1", 2L), ("u1", 1L), ("u2", 1L)))
+  }
+
+  test("catalog index lists lake tables from manifests only") {
+    val store = tmpDir("catalog")
+    val t1 = cdc.Engine.createPagesTable(s"$store/pages_a", 4)
+    cdc.MergeApply(spark, t1, Seq(graft.model.ChangeEvent(
+      1L, "I", "u1", new java.sql.Timestamp(0), Array.emptyByteArray, "t", "en"))
+      .toDS.toDF, 0L)
+    cdc.Engine.createPagesTable(s"$store/pages_b", 2)
+    val idx = graft.lake.Catalog.index(spark, store)
+      .orderBy("table")
+      .select("table", "currentSnapshotId", "deltaFiles")
+      .as[(String, Long, Int)].collect()
+    assert(idx.map(_._1).toSeq == Seq("pages_a", "pages_b"))
+    assert(idx(0)._2 == 1L && idx(0)._3 >= 1)
+    assert(idx(1)._2 == -1L)
+  }
+
+  test("hot-domain monitor surfaces the Zipf head") {
+    val cfg = cdc.EventGen.Config(nEvents = 5000, nUrls = 500, seed = 13,
+      skew = 3.0, parallelism = 4)
+    val events = cdc.EventGen.events(spark, cfg).toDF
+    val hot = IngestMetrics.hotDomains(events, 5)
+      .as[(String, Long)].collect()
+    assert(hot.length == 5)
+    assert(hot.head._2 > cfg.nEvents / cfg.nDomains) // head is above uniform
+    assert(hot.head._1 == "site0.example.com") // power-law concentrates at 0
+  }
+}

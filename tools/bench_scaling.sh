@@ -46,10 +46,16 @@ lo = json.load(open(f"{out}/bench_8.json"))["cdc"]
 hi = json.load(open(f"{out}/bench_32.json"))["cdc"]
 ratio = hi["events_per_sec"] / lo["events_per_sec"]
 eff = ratio / (32 / 8)
-print(f"local[8]:  {lo['events_per_sec']:.0f} events/s")
-print(f"local[32]: {hi['events_per_sec']:.0f} events/s")
-print(f"speedup {ratio:.2f}x over 4x cores -> scaling efficiency {eff:.3f}")
+p_ratio = lo["probe_seconds"] / hi["probe_seconds"]
+p_eff = p_ratio / (32 / 8)
+print(f"local[8]:  {lo['events_per_sec']:.0f} events/s  (compute probe {lo['probe_seconds']:.2f}s)")
+print(f"local[32]: {hi['events_per_sec']:.0f} events/s  (compute probe {hi['probe_seconds']:.2f}s)")
+print(f"end-to-end speedup {ratio:.2f}x over 4x cores -> efficiency {eff:.3f}")
+print(f"compute-stage speedup {p_ratio:.2f}x over 4x cores -> efficiency {p_eff:.3f}")
 json.dump({"events": lo["events"], "eps_8": lo["events_per_sec"],
            "eps_32": hi["events_per_sec"], "speedup": ratio,
-           "efficiency": eff}, open(f"{out}/scaling.json", "w"), indent=1)
+           "efficiency": eff,
+           "probe_sec_8": lo["probe_seconds"], "probe_sec_32": hi["probe_seconds"],
+           "probe_speedup": p_ratio, "probe_efficiency": p_eff},
+          open(f"{out}/scaling.json", "w"), indent=1)
 EOF
