@@ -335,13 +335,19 @@ object Queries {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t(spark, dir, "events")
       .select(col("event_id"), col("user_id"),
-        round(col("value") / lag(col("value"), 1).over(w) - 1, 6).as("pct"))
+        // NULLIF guards zero baselines (ANSI division-by-zero; DuckDB
+        // would yield inf — NULL in both engines instead). floor-based
+        // fixed-point instead of round(): ratios of 2-decimal inputs can
+        // land exactly on a 6-decimal half, where HALF_UP (Spark) and
+        // DuckDB rounding disagree; floor has no tie to break.
+        (floor((col("value") / nullif(lag(col("value"), 1).over(w), lit(0.0)) - 1)
+          * 1e6) / 1e6).as("pct"))
       .orderBy("event_id")
   }
 
   val qPctChangeSql: String =
     """SELECT event_id, user_id,
-      |  ROUND(value / LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) AS pct
+      |  FLOOR((value / NULLIF(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) - 1) * 1e6) / 1e6 AS pct
       |FROM events ORDER BY event_id""".stripMargin
 
   /** Cumulative sum per entity (running totals, SURVEY §2.5). */

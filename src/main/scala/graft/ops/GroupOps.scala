@@ -68,7 +68,7 @@ object GroupOps {
     val bothValid = col(value).isNotNull && col(weight).isNotNull
     val num = sum(when(bothValid, col(value) * col(weight)))
     val den = sum(when(bothValid, col(weight)))
-    num / den
+    num / nullif(den, lit(0.0)) // zero total weight → NULL (not ANSI error)
   }
 
   /** Region roll-up (the reference's `add_region_aggregates`,
@@ -146,7 +146,7 @@ object GroupOps {
     val joined = df.join(broadcast(population), on, "left")
     valueCols
       .foldLeft(joined)((d, c) =>
-        d.withColumn(c + suffix, col(c) / col(popCol)))
+        d.withColumn(c + suffix, col(c) / nullif(col(popCol), lit(0.0))))
       .drop(popCol)
   }
 }
