@@ -154,12 +154,12 @@ object MergeApply {
           .observe(obsM,
             sum(when(col("_deleted"), 1).otherwise(0)).as("dels"),
             count(lit(1)).as("rows"))
-          // no extra shuffle: the dedup already partitioned by key, and
-          // partitionBy splits each task's output into its bucket dirs;
-          // compaction consolidates the per-batch small files
+          // repartition by bucket bounds file count to numBuckets per batch
+          // (without it each task writes every bucket dir: tasks×buckets
+          // small files, which measurably kills the subsequent reads)
           .repartition(col("_bucket"))
           .sortWithinPartitions(col(key))
-          .write.partitionBy("_bucket")
+          .write.mode("overwrite").partitionBy("_bucket") // clobber crash debris (self-healing)
           .parquet(table.absolute(snapDirRel))
         dbg("write done")
 
@@ -229,7 +229,7 @@ object MergeApply {
           .drop("_action")
           .repartition(col("_bucket"))
           .sortWithinPartitions(col(key))
-          .write.partitionBy("_bucket")
+          .write.mode("overwrite").partitionBy("_bucket") // clobber crash debris (self-healing)
           .parquet(table.absolute(snapDirRel))
         dbg("cow write done")
 
@@ -285,7 +285,7 @@ object MergeApply {
     state
       .repartition(col("_bucket"))
       .sortWithinPartitions(col(key))
-      .write.partitionBy("_bucket")
+      .write.mode("overwrite").partitionBy("_bucket") // clobber crash debris (self-healing)
       .parquet(table.absolute(snapDirRel))
 
     val newFiles = table.listDataFiles(snapDirRel, meta.currentSchemaVersion, spark)

@@ -131,13 +131,20 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
   }
 
   /** Atomic commit: write v<N+1>.metadata.json, then atomically swap the
-    * version hint (write temp + rename — rename is atomic on HDFS and posix).
-    */
+    * version hint (write temp + rename — rename is atomic on HDFS and
+    * posix). Self-healing: a metadata file NEWER than the committed hint is
+    * crash debris from an interrupted writer (the hint never advanced) and
+    * is overwritten — the rename-aside discipline of the reference's
+    * partial-output cleanup (/root/reference/etl/steps/__init__.py:435-459).
+    * Commits at or below the committed version are rejected (stale/second
+    * writer). Single writer per table is the concurrency contract. */
   def commit(meta: TableMetadata): Unit = {
     val next = meta.version
+    val committed = if (fs.exists(hint)) readString(hint).trim.toInt else 0
+    require(next > committed,
+      s"stale commit: version $next is not newer than committed $committed at $dir")
     val mPath = new Path(metaDir, s"v$next.metadata.json")
-    require(!fs.exists(mPath), s"concurrent writer detected at $mPath")
-    writeString(mPath, renderMetadata(meta))
+    writeString(mPath, renderMetadata(meta)) // clobbers uncommitted debris
     val tmp = new Path(metaDir, s".version-hint.$next.tmp")
     writeString(tmp, next.toString)
     if (fs.exists(hint)) fs.delete(hint, false)

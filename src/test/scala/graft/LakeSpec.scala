@@ -51,6 +51,34 @@ class LakeSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("k", "v", "_lsn", "_deleted"))
   }
 
+  test("crash recovery: orphan data dir + uncommitted metadata are clobbered") {
+    val dir = tmpDir("lake-crash") + "/pages"
+    val table = cdc.Engine.createPagesTable(dir, 2)
+    def evd(lsn: Long, url: String) = graft.model.ChangeEvent(
+      lsn, "U", url, new java.sql.Timestamp(0), Array.emptyByteArray, s"t$lsn", "en")
+    cdc.MergeApply(spark, table, Seq(evd(1, "u1")).toDS.toDF, 0L)
+
+    // simulate a writer that died between data-write and hint-swap:
+    // an orphan snap-2 data dir with junk + an orphan v3.metadata.json
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    val orphanData = new org.apache.hadoop.fs.Path(dir, "data/snap-2/_bucket=0")
+    fs.mkdirs(orphanData)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(orphanData, "part-junk.parquet"), true)
+    junk.write("not a parquet file".getBytes); junk.close()
+    val orphanMeta = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "metadata/v3.metadata.json"), true)
+    orphanMeta.write("{corrupt".getBytes); orphanMeta.close()
+
+    // retry of the next batch must self-heal (overwrite both orphans)
+    val stats = cdc.MergeApply(spark, table, Seq(evd(2, "u2")).toDS.toDF, 1L)
+    assert(!stats.skipped && stats.inserted == 1)
+    assert(table.read(spark).count() == 2)
+    // stale/duplicate commit attempts are still rejected
+    val m = table.metadata
+    intercept[IllegalArgumentException] { table.commit(m.copy(version = m.version)) }
+  }
+
   test("interleaved reader during commits sees only committed snapshots") {
     val dir = tmpDir("lake-c") + "/pages"
     val table = cdc.Engine.createPagesTable(dir, 2)
