@@ -193,9 +193,16 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
     * when the table is a primary-key LWW table, tombstones filtered.
     * `buckets` prunes at the manifest level (the merge fast path). */
   def read(spark: SparkSession, buckets: Option[Set[Int]] = None,
-      includeTombstones: Boolean = false): DataFrame = {
+      includeTombstones: Boolean = false,
+      asOfSnapshot: Option[Long] = None): DataFrame = {
     val m = metadata
-    val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
+    val snap = asOfSnapshot match {
+      case Some(id) => // time travel: any snapshot in the log is readable
+        Some(m.snapshots.find(_.snapshotId == id).getOrElse(
+          throw new IllegalArgumentException(s"no snapshot $id at $dir")))
+      case None => m.currentSnapshot
+    }
+    val files = snap.map(_.files).getOrElse(Nil)
       .filter(f => buckets.forall(_.contains(f.bucket)))
     val raw = readRaw(spark, m, files)
     val hasDelta = files.exists(_.kind == "delta")

@@ -51,6 +51,22 @@ class LakeSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("k", "v", "_lsn", "_deleted"))
   }
 
+  test("time travel: any snapshot in the log is readable as-of") {
+    val dir = tmpDir("lake-tt") + "/pages"
+    val table = cdc.Engine.createPagesTable(dir, 2)
+    def evd(lsn: Long, op: String, url: String) = graft.model.ChangeEvent(
+      lsn, op, url, new java.sql.Timestamp(0), Array.emptyByteArray, s"t$lsn", "en")
+    cdc.MergeApply(spark, table, Seq(evd(1, "I", "u1")).toDS.toDF, 0L)
+    cdc.MergeApply(spark, table, Seq(evd(2, "I", "u2")).toDS.toDF, 1L)
+    cdc.MergeApply(spark, table, Seq(evd(3, "D", "u1")).toDS.toDF, 2L)
+    assert(table.read(spark).count() == 1) // current: u2 only
+    assert(table.read(spark, asOfSnapshot = Some(1L)).count() == 1) // u1
+    assert(table.read(spark, asOfSnapshot = Some(2L)).count() == 2) // u1,u2
+    intercept[IllegalArgumentException] {
+      table.read(spark, asOfSnapshot = Some(99L)).count()
+    }
+  }
+
   test("crash recovery: orphan data dir + uncommitted metadata are clobbered") {
     val dir = tmpDir("lake-crash") + "/pages"
     val table = cdc.Engine.createPagesTable(dir, 2)
