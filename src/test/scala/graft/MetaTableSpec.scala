@@ -1,0 +1,85 @@
+package graft
+
+import graft.meta.MetaTable
+import graft.model.{TableMeta, VariableMeta}
+import org.apache.spark.sql.functions._
+
+/** Metadata-propagation tests mirroring the reference's core suite
+  * (/root/reference/lib/catalog/tests/test_tables.py: metadata through
+  * rename/merge/concat/arithmetic, metadata combination on shared columns).
+  */
+class MetaTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  val gdpMeta = VariableMeta(title = Some("GDP"), unit = Some("USD"))
+  def base = MetaTable(
+    Seq(("usa", 2020, 100.0), ("fra", 2020, 50.0)).toDF("country", "year", "gdp"),
+    TableMeta("t1", primaryKey = Seq("country", "year"),
+      fields = Map("gdp" -> gdpMeta)))
+
+  test("select/filter/rename keep surviving metadata") {
+    val s = base.select("country", "gdp")
+    assert(s.meta.fields == Map("gdp" -> gdpMeta))
+    val f = base.filter(col("year") === 2020)
+    assert(f.meta.fields("gdp") == gdpMeta)
+    val r = base.withColumnRenamed("gdp", "gdp_usd")
+    assert(r.meta.fields.keySet == Set("gdp_usd"))
+    assert(r.df.columns.contains("gdp_usd"))
+  }
+
+  test("underscore renames columns, pk and field keys together") {
+    val messy = MetaTable(
+      Seq((1, 2.0)).toDF("Country Name", "GDP (current US$)"),
+      TableMeta("t", primaryKey = Seq("Country Name"),
+        fields = Map("GDP (current US$)" -> gdpMeta)))
+    val u = messy.underscore()
+    assert(u.df.columns.toSeq == Seq("country_name", "gdp_current_us"))
+    assert(u.meta.primaryKey == Seq("country_name"))
+    assert(u.meta.fields.keySet == Set("gdp_current_us"))
+  }
+
+  test("merge combines shared-column metadata: equal kept, conflicts dropped") {
+    val other = MetaTable(
+      Seq(("usa", 2020, 1.0, 7.0)).toDF("country", "year", "energy", "gdp"),
+      TableMeta("t2", fields = Map(
+        "energy" -> VariableMeta(title = Some("Energy")),
+        "gdp" -> VariableMeta(title = Some("GDP"), unit = Some("EUR")))))
+    val m = base.merge(other, "inner", Seq("country", "year"))
+    assert(m.df.columns.toSet ==
+      Set("country", "year", "gdp_x", "gdp_y", "energy"))
+    // unsuffixed columns keep (combined) metadata; suffixed overlap columns
+    // lose theirs (name no longer matches — the caller re-attaches)
+    assert(m.meta.fields.get("energy").flatMap(_.title).contains("Energy"))
+    assert(!m.meta.fields.contains("gdp"))
+  }
+
+  test("concat combines metadata across sides") {
+    val other = MetaTable(
+      Seq(("deu", 2020, 60.0)).toDF("country", "year", "gdp"),
+      TableMeta("t3", fields = Map(
+        "gdp" -> VariableMeta(title = Some("GDP"), unit = Some("EUR")))))
+    val c = base.concat(other)
+    assert(c.df.count() == 3)
+    val gdp = c.meta.fields("gdp")
+    assert(gdp.title.contains("GDP")) // agrees
+    assert(gdp.unit.isEmpty)          // USD vs EUR conflict dropped
+  }
+
+  test("derived columns start fresh; processing log accumulates") {
+    val d = base
+      .withColumn("gdp_2x", col("gdp") * 2)
+      .logStep("doubled gdp")
+    assert(d.meta.fields("gdp_2x").title.isEmpty)
+    assert(d.meta.fields("gdp").processingLog == List("doubled gdp"))
+    assert(d.df.select("gdp_2x").as[Double].collect().sorted.toSeq == Seq(100.0, 200.0))
+  }
+
+  test("combineVariable is commutative and keeps agreement only") {
+    val a = VariableMeta(title = Some("x"), unit = Some("u"))
+    val b = VariableMeta(title = Some("x"), unit = Some("v"))
+    val ab = MetaTable.combineVariable(a, b)
+    val ba = MetaTable.combineVariable(b, a)
+    assert(ab == ba)
+    assert(ab.title.contains("x") && ab.unit.isEmpty)
+  }
+}
