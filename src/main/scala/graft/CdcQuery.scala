@@ -25,14 +25,15 @@ object CdcQuery {
 
   def qCdcMerge(spark: SparkSession, dir: String): DataFrame = {
     val ce = toChangeEvents(Queries.t(spark, dir, "events"))
-    val mid = ce.agg(
-      ((min(col("lsn")) + max(col("lsn"))) / 2).cast("long")).collect()(0).getLong(0)
-
+    // split by LSN parity — no driver collect/extra scan; the tombstone+LWW
+    // merge converges to the same final state under ANY batch split
+    // (CdcSpec's arbitrary-split property), so a non-contiguous split is
+    // also a stronger exercise of the engine than a contiguous one
     val tableDir = java.nio.file.Files
       .createTempDirectory("cdc-query").toString + "/pages"
     val table = Engine.createPagesTable(tableDir, numBuckets = 8)
-    MergeApply(spark, table, ce.filter(col("lsn") <= mid), batchId = 0L)
-    MergeApply(spark, table, ce.filter(col("lsn") > mid), batchId = 1L)
+    MergeApply(spark, table, ce.filter(pmod(col("lsn"), lit(2)) === 0), batchId = 0L)
+    MergeApply(spark, table, ce.filter(pmod(col("lsn"), lit(2)) === 1), batchId = 1L)
 
     table.read(spark)
       .select("url", "warc_ts", "text", "lang", "_lsn")

@@ -281,7 +281,9 @@ object Queries {
       |  GROUP BY n_name, n_regionkey)
       |SELECT entity, cnt FROM per_nation
       |UNION ALL
-      |SELECT r_name AS entity, SUM(cnt) AS cnt
+      |-- DuckDB widens SUM(BIGINT) to HUGEINT and UNION ALL then widens the
+      |-- whole column; CAST back so the type-sensitive gate hash matches.
+      |SELECT r_name AS entity, CAST(SUM(cnt) AS BIGINT) AS cnt
       |FROM per_nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name
       |ORDER BY entity""".stripMargin
 
@@ -395,7 +397,8 @@ object Queries {
       .withColumn("v", when(pmod(col("event_id"), lit(3)) === 0, col("value")))
       .select("event_id", "user_id", "v")
     WindowOps
-      .interpolate(base, Seq("user_id"), "event_id", "v")
+      .interpolate(base, Seq("user_id"), "event_id", "v",
+        limitArea = Some("inside"))
       .withColumn("v", round(col("v"), 6))
       .orderBy("event_id")
   }
@@ -566,16 +569,18 @@ object Queries {
   /** Date functions incl. days-since-zeroDay (grapher adapt,
     * helpers.py:618-689). */
   def qDateFuncs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    t(spark, dir, "orders")
-      .filter(col("o_orderkey") <= 2000)
+    val base = t(spark, dir, "orders").filter(col("o_orderkey") <= 2000)
+    // Global minimum as a 1-row broadcast crossJoin, NOT an unpartitioned
+    // window (which would collapse the table to a single partition at scale).
+    val zero = base.agg(min(col("o_orderdate")).as("_zero_day"))
+    base
+      .crossJoin(broadcast(zero))
       .select(
         col("o_orderkey"),
         year(col("o_orderdate")).as("yr"),
         month(col("o_orderdate")).as("mo"),
         dayofmonth(col("o_orderdate")).as("dom"),
-        datediff(col("o_orderdate"),
-          min(col("o_orderdate")).over(Window.partitionBy())).as("days_since_zeroday"))
+        datediff(col("o_orderdate"), col("_zero_day")).as("days_since_zeroday"))
       .orderBy("o_orderkey")
   }
 
@@ -633,6 +638,190 @@ object Queries {
       |       THEN NULL ELSE o_totalprice END AS o_totalprice
       |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
 
+  /** Country harmonization (harmonize_countries, geo.py:536-628): mapping
+    * rename + excluded-list drop, unmapped names pass through. */
+  def qHarmonize(spark: SparkSession, dir: String): DataFrame = {
+    val mapping = Map(
+      "UNITED STATES" -> "United States",
+      "UNITED KINGDOM" -> "United Kingdom",
+      "GERMANY" -> "Germany",
+      "ATLANTIS" -> "Atlantis") // unused mapping (reference warns, keeps)
+    Geo.harmonizeCountries(
+        t(spark, dir, "nation").select(col("n_nationkey"), col("n_name").as("country")),
+        mapping, excluded = Seq("FRANCE"), countryCol = "country")
+      .orderBy("n_nationkey")
+  }
+
+  val qHarmonizeSql: String =
+    """SELECT n_nationkey,
+      |  CASE n_name WHEN 'UNITED STATES' THEN 'United States'
+      |    WHEN 'UNITED KINGDOM' THEN 'United Kingdom'
+      |    WHEN 'GERMANY' THEN 'Germany' ELSE n_name END AS country
+      |FROM nation WHERE n_name <> 'FRANCE'
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** expand_time_column method="full_range" + zero-fill (misc.py:263-283,
+    * 338-368): every entity × the GLOBAL year range, gaps zero-filled. */
+  def qExpandFullRange(spark: SparkSession, dir: String): DataFrame = {
+    val perYear = t(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"),
+        year(col("o_orderdate")).as("yr"))
+      .filter(col("custkey") <= 100)
+      .groupBy("custkey", "yr")
+      .agg(count(lit(1)).as("n"))
+    WindowOps.expandTimeColumn(perYear, Seq("custkey"), "yr",
+        method = "full_range", fillna = Seq("zero"))
+      .orderBy("custkey", "yr")
+  }
+
+  val qExpandFullRangeSql: String =
+    """WITH per_year AS (
+      |  SELECT o_custkey AS custkey, DATE_PART('year', o_orderdate) AS yr, COUNT(*) AS n
+      |  FROM orders WHERE o_custkey <= 100 GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(yr) AS y0, MAX(yr) AS y1 FROM per_year),
+      |spine AS (
+      |  SELECT custkey, yr
+      |  FROM (SELECT DISTINCT custkey FROM per_year),
+      |       (SELECT UNNEST(GENERATE_SERIES(y0, y1)) AS yr FROM bounds))
+      |SELECT spine.custkey, spine.yr, COALESCE(per_year.n, 0) AS n
+      |FROM spine LEFT JOIN per_year USING (custkey, yr)
+      |ORDER BY custkey, yr""".stripMargin
+
+  /** expand_time_column until_time + ffill (misc.py:286-335): extend each
+    * entity forward to a fixed year, forward-filling the new rows. */
+  def qExpandUntil(spark: SparkSession, dir: String): DataFrame = {
+    val perYear = t(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"),
+        year(col("o_orderdate")).as("yr"))
+      .filter(col("custkey") <= 100)
+      .groupBy("custkey", "yr")
+      .agg(count(lit(1)).as("n"))
+    WindowOps.expandTimeColumn(perYear, Seq("custkey"), "yr",
+        method = "full_range_entity", untilTime = Some(2001),
+        fillna = Seq("ffill"))
+      .orderBy("custkey", "yr")
+  }
+
+  val qExpandUntilSql: String =
+    """WITH per_year AS (
+      |  SELECT o_custkey AS custkey, DATE_PART('year', o_orderdate) AS yr, COUNT(*) AS n
+      |  FROM orders WHERE o_custkey <= 100 GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT custkey, UNNEST(GENERATE_SERIES(MIN(yr), GREATEST(MAX(yr), 2001))) AS yr
+      |  FROM per_year GROUP BY custkey)
+      |SELECT custkey, yr,
+      |  LAST_VALUE(n IGNORE NULLS) OVER (PARTITION BY custkey ORDER BY yr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+      |FROM (SELECT spine.custkey, spine.yr, per_year.n
+      |      FROM spine LEFT JOIN per_year USING (custkey, yr))
+      |ORDER BY custkey, yr""".stripMargin
+
+  /** interpolate with limit_direction="both", limit_area=None (pandas
+    * endpoint clamping — misc.py:77-124 defaults). */
+  def qInterpolateClamp(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "events")
+      .withColumn("v", when(pmod(col("event_id"), lit(3)) === 0, col("value")))
+      .select("event_id", "user_id", "v")
+    WindowOps
+      .interpolate(base, Seq("user_id"), "event_id", "v")
+      .withColumn("v", round(col("v"), 6))
+      .orderBy("event_id")
+  }
+
+  val qInterpolateClampSql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_id % 3 = 0 THEN value END AS v FROM events)
+      |SELECT event_id, user_id,
+      |  ROUND(CASE WHEN v IS NOT NULL THEN v
+      |    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+      |      prev_v + (next_v - prev_v) * (event_id - prev_t) / (next_t - prev_t)
+      |    WHEN prev_v IS NOT NULL THEN prev_v
+      |    WHEN next_v IS NOT NULL THEN next_v
+      |    END, 6) AS v
+      |FROM (
+      |  SELECT event_id, user_id, v,
+      |    LAST_VALUE(v IGNORE NULLS) OVER wp AS prev_v,
+      |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS) OVER wp AS prev_t,
+      |    FIRST_VALUE(v IGNORE NULLS) OVER wn AS next_v,
+      |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS) OVER wn AS next_t
+      |  FROM base
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wn AS (PARTITION BY user_id ORDER BY event_id
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |ORDER BY event_id""".stripMargin
+
+  /** Per-column aggregation map (groupby_agg dict, dataframes.py:310-482):
+    * different agg per value column, one shuffle. */
+  def qGroupbyAggMap(spark: SparkSession, dir: String): DataFrame =
+    GroupOps.groupbyAggMap(
+        t(spark, dir, "lineitem")
+          .select(col("l_returnflag"), dec(col("l_quantity")).as("q"),
+            col("l_extendedprice").as("p"), col("l_orderkey").as("k")),
+        Seq("l_returnflag"),
+        Map("q" -> "sum", "p" -> "max", "k" -> "count_distinct"))
+      .withColumn("q", d(col("q")))
+      .orderBy("l_returnflag")
+
+  val qGroupbyAggMapSql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS q,
+      |  MAX(l_extendedprice) AS p,
+      |  COUNT(DISTINCT l_orderkey) AS k
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Horizontal concat on pk — concat(axis=1) (tables.py:2236-2246). */
+  def qConcatAxis1(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "customer").groupBy(col("c_nationkey").as("k"))
+      .agg(count(lit(1)).as("n_customers"))
+    val b = t(spark, dir, "supplier").groupBy(col("s_nationkey").as("k"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    TableOps.concatHorizontal(Seq(a, b), Seq("k")).orderBy("k")
+  }
+
+  val qConcatAxis1Sql: String =
+    """WITH a AS (SELECT c_nationkey AS k, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+      |b AS (SELECT s_nationkey AS k, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+      |SELECT COALESCE(a.k, b.k) AS k, n_customers, n_suppliers
+      |FROM a FULL OUTER JOIN b ON a.k = b.k ORDER BY k""".stripMargin
+
+  /** Row-wise sum/prod across columns (Table.sum/prod axis=1). */
+  def qRowTotal(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") <= 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        TableOps.rowSum(Seq("l_quantity", "l_discount", "l_tax"), "total"),
+        round(TableOps.rowProd(Seq("l_quantity", "l_tax"), "prod2"), 6).as("prod2"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val qRowTotalSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_quantity + l_discount + l_tax AS total,
+      |  ROUND(l_quantity * l_tax, 6) AS prod2
+      |FROM lineitem WHERE l_orderkey <= 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Doubling time over an n-period lag (cases_deaths.py:223-262). */
+  def qDoublingTime(spark: SparkSession, dir: String): DataFrame =
+    WindowOps.doublingTime(
+        t(spark, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            (col("value") + 1.0).as("v")), // strictly positive series
+        Seq("user_id"), "event_id", "v", periods = 2)
+      .withColumn("v_doubling", floor(col("v_doubling") * 1e6) / 1e6)
+      .orderBy("event_id")
+
+  // LN(1 + (v/lag - 1)) spelled exactly as Spark computes it (not LN(v/lag))
+  // so both engines hit identical floating-point intermediates
+  val qDoublingTimeSql: String =
+    """SELECT event_id, user_id, v,
+      |  FLOOR(CASE WHEN v / LAG(v, 2) OVER w - 1 > 0
+      |    THEN 2 * LN(2) / LN(1 + (v / LAG(v, 2) OVER w - 1)) * 1e6 END) / 1e6 AS v_doubling
+      |FROM (SELECT event_id, user_id, value + 1.0 AS v FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY event_id""".stripMargin
+
   /** Deterministic top-k (SURVEY §2.6). */
   def qTopK(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -676,6 +865,14 @@ object Queries {
     "q_regex_extract" -> ((qRegexExtract _, qRegexExtractSql)),
     "q_map_column" -> ((qMapColumn _, qMapColumnSql)),
     "q_corrections" -> ((qCorrections _, qCorrectionsSql)),
-    "q_topk" -> ((qTopK _, qTopKSql))
+    "q_topk" -> ((qTopK _, qTopKSql)),
+    "q_harmonize" -> ((qHarmonize _, qHarmonizeSql)),
+    "q_expand_full_range" -> ((qExpandFullRange _, qExpandFullRangeSql)),
+    "q_expand_until" -> ((qExpandUntil _, qExpandUntilSql)),
+    "q_interpolate_clamp" -> ((qInterpolateClamp _, qInterpolateClampSql)),
+    "q_groupby_agg_map" -> ((qGroupbyAggMap _, qGroupbyAggMapSql)),
+    "q_concat_axis1" -> ((qConcatAxis1 _, qConcatAxis1Sql)),
+    "q_row_total" -> ((qRowTotal _, qRowTotalSql)),
+    "q_doubling_time" -> ((qDoublingTime _, qDoublingTimeSql))
   )
 }

@@ -34,15 +34,20 @@ object TrainQueries {
 
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.5, maxDf = 64)
       .orderBy("i", "j")
 
+  // document-frequency cap mirrored: shingles in > 64 docs are dropped in
+  // BOTH engines before the self-join (Dedup.ngramJaccardPairs maxDf)
   val qNgramJaccardSql: String =
     s"""WITH $shingleCte,
-       |cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+       |shc AS (SELECT sh.* FROM sh
+       |        JOIN (SELECT shingle FROM sh GROUP BY shingle
+       |              HAVING COUNT(*) <= 64) ok USING (shingle)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS c FROM shc GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT i, j, jaccard FROM (
        |  SELECT i, j, ROUND(common * 1.0 / (ca.c + cb.c - common), 6) AS jaccard
@@ -140,18 +145,24 @@ object TrainQueries {
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, tid) <= 10
        |ORDER BY qid, cos DESC, tid""".stripMargin
 
-  /** Embedding near-dup within coarse cells (IVF-style pruning by label). */
+  /** Embedding near-dup within coarse cells (IVF-style pruning by label),
+    * cells capped at 48 members via id-modulus sub-bucketing (mirrored in
+    * the oracle). */
   def qEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(t(spark, dir, "embeddings"), "vec_id", "embedding",
-        "label", threshold = 0.3)
+        "label", threshold = 0.3, maxCellSize = 48)
       .orderBy("i", "j")
 
   val qEmbeddingNearDupSql: String =
-    s"""SELECT i, j, cos FROM (
+    s"""WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+       |e AS (SELECT embeddings.*, CAST(CEIL(n / 48.0) AS BIGINT) AS nsub
+       |      FROM embeddings JOIN c USING (label))
+       |SELECT i, j, cos FROM (
        |  SELECT a.vec_id AS i, b.vec_id AS j,
        |    ${cosSql.replace("qv", "a.embedding").replace("tv", "b.embedding")} AS cos
-       |  FROM embeddings a JOIN embeddings b
-       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |  FROM e a JOIN e b
+       |    ON a.label = b.label AND a.vec_id % a.nsub = b.vec_id % b.nsub
+       |   AND a.vec_id < b.vec_id)
        |WHERE cos >= 0.3 ORDER BY i, j""".stripMargin
 
   // ------------------------------------------------------------ text analysis

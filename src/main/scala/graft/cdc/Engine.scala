@@ -43,10 +43,12 @@ object Engine {
     LakeField(7, "_deleted", "boolean", nullable = false)
   )
 
-  def createPagesTable(dir: String, numBuckets: Int): LakeTable = {
+  def createPagesTable(dir: String, numBuckets: Int,
+      retainSnapshots: Int = 100): LakeTable = {
     val t = new LakeTable(dir)
     t.create(pagesFields, numBuckets, "url",
-      lwwColumn = Some("_lsn"), tombstoneColumn = Some("_deleted"))
+      lwwColumn = Some("_lsn"), tombstoneColumn = Some("_deleted"),
+      retainSnapshots = retainSnapshots)
     t
   }
 

@@ -113,7 +113,10 @@ object MergeApply {
       mode: MergeMode = MergeOnRead
   ): MergeStats = {
     val meta = table.metadata
-    if (meta.committedBatchIds.contains(batchId))
+    // exactly-once: idempotent-writer ledger keyed on (stepId, batchId) —
+    // streaming batchIds restart at 0 after a checkpoint reset and two
+    // streams share a table, so batchId alone is not a safe dedup key
+    if (meta.isCommitted(stepId, batchId))
       return MergeStats(batchId, meta.currentSnapshotId.getOrElse(-1L),
         skipped = true, 0, 0, 0, 0)
 
@@ -166,7 +169,7 @@ object MergeApply {
         val newFiles = table.listDataFiles(snapDirRel, cur.schemaVersion,
           spark, kind = "delta")
         dbg("listed files")
-        val carried = meta.currentSnapshot.map(_.files).getOrElse(Nil)
+        val carried = meta.currentSnapshot.map(table.filesOf).getOrElse(Nil)
         val srcRow = obsSrc.get; val mRow = obsM.get
         val snap = Snapshot(
           snapshotId = snapId, parentId = meta.currentSnapshotId,
@@ -178,7 +181,8 @@ object MergeApply {
           files = carried ++ newFiles)
         table.commit(meta.copy(version = meta.version + 1,
           currentSnapshotId = Some(snapId),
-          snapshots = meta.snapshots :+ snap))
+          snapshots = meta.snapshots :+ snap,
+          lastBatch = meta.lastBatch + (stepId -> batchId)))
         dbg("committed")
         MergeStats(batchId, snapId, skipped = false,
           snap.rowsInserted, 0, snap.rowsDeleted, 0)
@@ -235,7 +239,7 @@ object MergeApply {
 
         val newFiles = table.listDataFiles(snapDirRel, cur.schemaVersion, spark)
         val carried = meta.currentSnapshot
-          .map(_.files.filterNot(f => touched.contains(f.bucket)))
+          .map(s => table.filesOf(s).filterNot(f => touched.contains(f.bucket)))
           .getOrElse(Nil)
         val srcRow = obsSrc.get; val mergeRow = obsMerge.get
         val snap = Snapshot(
@@ -249,7 +253,8 @@ object MergeApply {
           files = carried ++ newFiles)
         table.commit(meta.copy(version = meta.version + 1,
           currentSnapshotId = Some(snapId),
-          snapshots = meta.snapshots :+ snap))
+          snapshots = meta.snapshots :+ snap,
+          lastBatch = meta.lastBatch + (stepId -> batchId)))
         MergeStats(batchId, snapId, skipped = false,
           snap.rowsInserted, snap.rowsUpdated, snap.rowsDeleted,
           g(mergeRow, "late"))
@@ -270,7 +275,8 @@ object MergeApply {
       purgeTombstones: Boolean = false): Option[Long] = {
     val meta = table.metadata
     val snap = meta.currentSnapshot.getOrElse(return None)
-    val deltaBuckets = snap.files.filter(_.kind == "delta").map(_.bucket).toSet
+    val snapFiles = table.filesOf(snap)
+    val deltaBuckets = snapFiles.filter(_.kind == "delta").map(_.bucket).toSet
     if (deltaBuckets.isEmpty) return None
     val key = meta.bucketColumn
     val b = meta.numBuckets
@@ -289,7 +295,7 @@ object MergeApply {
       .parquet(table.absolute(snapDirRel))
 
     val newFiles = table.listDataFiles(snapDirRel, meta.currentSchemaVersion, spark)
-    val carried = snap.files
+    val carried = snapFiles
       .filterNot(f => deltaBuckets.contains(f.bucket))
     val s = Snapshot(
       snapshotId = snapId, parentId = Some(snap.snapshotId),

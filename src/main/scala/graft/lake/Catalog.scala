@@ -40,16 +40,18 @@ object Catalog {
   def index(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
     listTables(storeDir).map { name =>
-      val m = new LakeTable(s"$storeDir/$name").metadata
+      val t = new LakeTable(s"$storeDir/$name")
+      val m = t.metadata
       val snap = m.currentSnapshot
+      val files = snap.map(t.filesOf).getOrElse(Nil)
       TableEntry(
         table = name,
         currentSnapshotId = m.currentSnapshotId.getOrElse(-1L),
         snapshots = m.snapshots.size,
         schemaVersion = m.currentSchemaVersion,
         numBuckets = m.numBuckets,
-        files = snap.map(_.files.size).getOrElse(0),
-        deltaFiles = snap.map(_.files.count(_.kind == "delta")).getOrElse(0),
+        files = files.size,
+        deltaFiles = files.count(_.kind == "delta"),
         lastBatchId = snap.map(_.batchId).getOrElse(-1L),
         lastLsnMax = snap.map(_.lsnMax).getOrElse(-1L))
     }.toDS.toDF

@@ -56,6 +56,11 @@ final case class LakeSchema(schemaVersion: Int, fields: Seq[LakeField]) {
 final case class DataFile(path: String, bucket: Int, rows: Long,
     schemaVersion: Int, kind: String = "base")
 
+/** A committed table version. `files` is populated when the snapshot was
+  * built by a writer in this JVM; snapshots parsed back from metadata carry
+  * only `manifestPath` (Iceberg-style manifest indirection — the metadata
+  * file stays O(retained snapshots), never O(snapshots × files)) and their
+  * file list is loaded on demand via `LakeTable.filesOf`. */
 final case class Snapshot(
     snapshotId: Long,
     parentId: Option[Long],
@@ -68,7 +73,8 @@ final case class Snapshot(
     rowsDeleted: Long,
     schemaVersion: Int,
     files: Seq[DataFile],
-    inputSnapshots: Map[String, Long] = Map.empty // upstream table → snapshotId (lineage)
+    inputSnapshots: Map[String, Long] = Map.empty, // upstream table → snapshotId (lineage)
+    manifestPath: Option[String] = None
 )
 
 /** `lwwColumn`/`tombstoneColumn`: when set, the table is a primary-key LWW
@@ -83,14 +89,25 @@ final case class TableMetadata(
     currentSnapshotId: Option[Long],
     snapshots: Seq[Snapshot],
     lwwColumn: Option[String] = None,
-    tombstoneColumn: Option[String] = None
+    tombstoneColumn: Option[String] = None,
+    // Idempotent-writer ledger (Delta's txnAppId+txnVersion pattern): per
+    // stepId, the highest committed batchId. Survives snapshot-log
+    // truncation, is O(steps) not O(batches), and two streams writing the
+    // same table no longer share one id space.
+    lastBatch: Map[String, Long] = Map.empty,
+    // How many snapshots to retain in the log (the time-travel window).
+    // Older snapshots are truncated at commit so the metadata file and its
+    // re-serialization cost stay bounded at 10^5+ micro-batches.
+    retainSnapshots: Int = 100
 ) {
   def currentSchema: LakeSchema =
     schemas.find(_.schemaVersion == currentSchemaVersion).get
   def currentSnapshot: Option[Snapshot] =
     currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
   def schemaAt(v: Int): LakeSchema = schemas.find(_.schemaVersion == v).get
-  def committedBatchIds: Set[Long] = snapshots.map(_.batchId).toSet
+  /** Exactly-once check: has (stepId, batchId) already been applied? */
+  def isCommitted(stepId: String, batchId: Long): Boolean =
+    lastBatch.get(stepId).exists(batchId <= _)
 }
 
 class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()) {
@@ -101,13 +118,28 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
   private val metaDir = new Path(root, "metadata")
   private val hint = new Path(metaDir, "version-hint.text")
 
-  def exists: Boolean = fs.exists(hint)
+  private val MetaFile = """v(\d+)\.metadata\.json""".r
+
+  /** Highest vN.metadata.json on disk — the read-side recovery path when the
+    * version hint is missing (externally deleted, or legacy crash debris). */
+  private def maxMetadataVersion: Option[Int] =
+    if (!fs.exists(metaDir)) None
+    else {
+      val vs = fs.listStatus(metaDir).toSeq.flatMap(_.getPath.getName match {
+        case MetaFile(v) => Some(v.toInt)
+        case _           => None
+      })
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+
+  def exists: Boolean = fs.exists(hint) || maxMetadataVersion.isDefined
 
   // -------------------------------------------------------------- create
 
   def create(fields: Seq[LakeField], numBuckets: Int, bucketColumn: String,
       lwwColumn: Option[String] = None,
-      tombstoneColumn: Option[String] = None): Unit = {
+      tombstoneColumn: Option[String] = None,
+      retainSnapshots: Int = 100): Unit = {
     require(!exists, s"table already exists at $dir")
     val meta = TableMetadata(
       version = 1,
@@ -118,7 +150,8 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
       currentSnapshotId = None,
       snapshots = Nil,
       lwwColumn = lwwColumn,
-      tombstoneColumn = tombstoneColumn)
+      tombstoneColumn = tombstoneColumn,
+      retainSnapshots = retainSnapshots)
     fs.mkdirs(metaDir)
     writeMetadata(meta)
   }
@@ -126,16 +159,26 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
   // -------------------------------------------------------------- metadata io
 
   def metadata: TableMetadata = {
-    val v = readString(hint).trim.toInt
+    // hint is the committed pointer; if it is missing (externally removed),
+    // recover from the highest metadata file on disk — readers never see a
+    // transient "table does not exist"
+    val v =
+      if (fs.exists(hint)) readString(hint).trim.toInt
+      else maxMetadataVersion.getOrElse(
+        throw new java.io.FileNotFoundException(s"no table metadata at $dir"))
     parseMetadata(readString(new Path(metaDir, s"v$v.metadata.json")))
   }
 
-  /** Atomic commit: write v<N+1>.metadata.json, then atomically swap the
-    * version hint (write temp + rename — rename is atomic on HDFS and
-    * posix). Self-healing: a metadata file NEWER than the committed hint is
-    * crash debris from an interrupted writer (the hint never advanced) and
-    * is overwritten — the rename-aside discipline of the reference's
-    * partial-output cleanup (/root/reference/etl/steps/__init__.py:435-459).
+  /** Atomic commit: write per-snapshot manifest files (immutable, one per
+    * snapshot — the metadata json only references them), truncate the
+    * snapshot log to the retention window, write v<N+1>.metadata.json, then
+    * swap the version hint with a single overwrite-rename (FileContext
+    * Rename.OVERWRITE) — no delete window, so a crash never leaves the
+    * table pointer missing. Self-healing: a metadata file NEWER than the
+    * committed hint is crash debris from an interrupted writer (the hint
+    * never advanced) and is overwritten — the rename-aside discipline of the
+    * reference's partial-output cleanup
+    * (/root/reference/etl/steps/__init__.py:435-459).
     * Commits at or below the committed version are rejected (stale/second
     * writer). Single writer per table is the concurrency contract. */
   def commit(meta: TableMetadata): Unit = {
@@ -143,16 +186,50 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
     val committed = if (fs.exists(hint)) readString(hint).trim.toInt else 0
     require(next > committed,
       s"stale commit: version $next is not newer than committed $committed at $dir")
+    if (!fs.exists(metaDir)) fs.mkdirs(metaDir)
+
+    // manifest indirection: persist each snapshot's file list once; the
+    // metadata file carries only the manifest path + stats per snapshot
+    val withManifests = meta.snapshots.map { s =>
+      s.manifestPath match {
+        case Some(_) => s
+        case None =>
+          val rel = s"metadata/manifest-${s.snapshotId}.json"
+          val p = new Path(root, rel)
+          if (!fs.exists(p)) writeString(p, renderManifest(s.files))
+          s.copy(manifestPath = Some(rel))
+      }
+    }
+    // retention truncation: keep the newest `retainSnapshots` (time-travel
+    // window); drop older ones and their manifests. Data files are NOT
+    // deleted here — newer snapshots may carry them forward (vacuum is a
+    // separate concern).
+    val (kept, expired) =
+      if (withManifests.size <= meta.retainSnapshots) (withManifests, Nil)
+      else withManifests.splitAt(withManifests.size - meta.retainSnapshots).swap
+    expired.foreach(_.manifestPath.foreach(m => fs.delete(new Path(root, m), false)))
+
     val mPath = new Path(metaDir, s"v$next.metadata.json")
-    writeString(mPath, renderMetadata(meta)) // clobbers uncommitted debris
+    writeString(mPath, renderMetadata(meta.copy(snapshots = kept))) // clobbers uncommitted debris
     val tmp = new Path(metaDir, s".version-hint.$next.tmp")
     writeString(tmp, next.toString)
-    if (fs.exists(hint)) fs.delete(hint, false)
-    if (!fs.rename(tmp, hint))
-      throw new java.io.IOException(s"atomic version-hint swap failed at $dir")
+    overwriteRename(tmp, hint)
+  }
+
+  /** Single atomic overwrite-rename (no delete-then-rename window). */
+  private def overwriteRename(src: Path, dst: Path): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options}
+    val fc = FileContext.getFileContext(root.toUri, hadoopConf)
+    fc.rename(src, dst, Options.Rename.OVERWRITE)
   }
 
   private def writeMetadata(meta: TableMetadata): Unit = commit(meta)
+
+  /** File list of a snapshot: inline when the snapshot was just built by
+    * this writer, else loaded from its manifest file. */
+  def filesOf(s: Snapshot): Seq[DataFile] =
+    if (s.files.nonEmpty || s.manifestPath.isEmpty) s.files
+    else parseManifest(readString(new Path(root, s.manifestPath.get)))
 
   // -------------------------------------------------------------- schema evolution
 
@@ -191,39 +268,60 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
   /** Read the current snapshot's reconciled state: field-ID projection of
     * every file (rename/add-safe), LWW reconciliation across base+delta rows
     * when the table is a primary-key LWW table, tombstones filtered.
-    * `buckets` prunes at the manifest level (the merge fast path). */
+    * `buckets` prunes at the manifest level (the merge fast path).
+    *
+    * MOR reconciliation is scoped to DELTA KEYS ONLY (never the whole
+    * table): base buckets without delta files pass straight through with no
+    * join, and within delta-bearing buckets only the rows whose key appears
+    * in a delta file enter the max-LSN reconciliation. The reconciled /
+    * broadcast working set is therefore bounded by the delta backlog
+    * (compaction cadence), NOT table size — a full-table read of a 100 TB
+    * table with a small delta backlog does two cheap hash joins per
+    * delta bucket, not a 10^9-key aggregate.
+    */
   def read(spark: SparkSession, buckets: Option[Set[Int]] = None,
       includeTombstones: Boolean = false,
       asOfSnapshot: Option[Long] = None): DataFrame = {
     val m = metadata
     val snap = asOfSnapshot match {
-      case Some(id) => // time travel: any snapshot in the log is readable
+      case Some(id) => // time travel: any retained snapshot is readable
         Some(m.snapshots.find(_.snapshotId == id).getOrElse(
-          throw new IllegalArgumentException(s"no snapshot $id at $dir")))
+          throw new IllegalArgumentException(
+            s"no snapshot $id at $dir (outside the retention window?)")))
       case None => m.currentSnapshot
     }
-    val files = snap.map(_.files).getOrElse(Nil)
+    val files = snap.map(filesOf).getOrElse(Nil)
       .filter(f => buckets.forall(_.contains(f.bucket)))
-    val raw = readRaw(spark, m, files)
-    val hasDelta = files.exists(_.kind == "delta")
     val reconciled = m.lwwColumn match {
-      case Some(lww) if hasDelta =>
-        // delta rows present: latest writer per key wins. Shaped as a
-        // fixed-width max aggregation + semi join back on (key, lww) —
-        // HashAggregate + hash semi join; payloads never sort. (The naive
-        // max_by(struct) has a var-width buffer → SortAggregate with two
-        // full-payload sorts.) Correct because (key, lww) pairs are unique:
-        // LSNs are unique in the WAL and batchId dedup prevents re-applied
-        // batches from writing duplicate rows.
-        // broadcast is right while delta key-cardinality is bounded by the
-        // compaction cadence; for very large delta backlogs set
-        // SPARK_GRAFT_DEDUP_JOIN=auto (AQE picks) or compact per-bucket
-        val hint = sys.env.getOrElse("SPARK_GRAFT_DEDUP_JOIN", "broadcast")
+      case Some(lww) if files.exists(_.kind == "delta") =>
         val key = m.bucketColumn
-        val maxL0 = raw.groupBy(col(key)).agg(max(col(lww)).as(lww))
-        val maxL = if (hint == "auto") maxL0 else maxL0.hint(hint)
-        raw.join(maxL, Seq(key, lww), "left_semi")
-      case _ => raw
+        val deltaBuckets = files.filter(_.kind == "delta").map(_.bucket).toSet
+        val (inDeltaBuckets, cleanFiles) =
+          files.partition(f => deltaBuckets.contains(f.bucket))
+        val (deltaFiles, baseFiles) = inDeltaBuckets.partition(_.kind == "delta")
+        val delta = readRaw(spark, m, deltaFiles)
+        val base = readRaw(spark, m, baseFiles)
+        // latest writer per key wins, computed over delta rows ∪ the base
+        // rows of delta keys. Fixed-width max aggregation + semi join back
+        // on (key, lww) — HashAggregate + hash joins; payloads never sort
+        // or shuffle. (The naive max_by(struct) has a var-width buffer →
+        // SortAggregate with two full-payload sorts.) Correct because
+        // (key, lww) pairs are unique: LSNs are unique in the WAL and
+        // batchId dedup prevents re-applied batches writing duplicates.
+        // The delta-key side is slim and bounded; AQE picks broadcast from
+        // runtime stats (override via SPARK_GRAFT_DEDUP_JOIN).
+        val hintName = sys.env.getOrElse("SPARK_GRAFT_DEDUP_JOIN", "auto")
+        def hinted(df: DataFrame): DataFrame =
+          if (hintName == "auto") df else df.hint(hintName)
+        val deltaKeys = hinted(delta.select(col(key)).distinct())
+        val affected = base.join(deltaKeys, Seq(key), "left_semi")
+          .unionByName(delta)
+        val untouchedBase = base.join(deltaKeys, Seq(key), "left_anti")
+        val maxL = hinted(affected.groupBy(col(key)).agg(max(col(lww)).as(lww)))
+        readRaw(spark, m, cleanFiles)
+          .unionByName(untouchedBase)
+          .unionByName(affected.join(maxL, Seq(key, lww), "left_semi"))
+      case _ => readRaw(spark, m, files)
     }
     m.tombstoneColumn match {
       case Some(ts) if !includeTombstones =>
@@ -314,15 +412,44 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
 object LakeTable {
   private val mapper = new ObjectMapper()
 
+  private def fileToNode(arr: ArrayNode, f: DataFile): Unit = {
+    val fo = arr.addObject()
+    fo.put("path", f.path); fo.put("bucket", f.bucket)
+    fo.put("rows", f.rows); fo.put("schemaVersion", f.schemaVersion)
+    fo.put("kind", f.kind)
+  }
+
+  private def nodeToFile(f: JsonNode): DataFile =
+    DataFile(f.get("path").asText(), f.get("bucket").asInt(),
+      f.get("rows").asLong(), f.get("schemaVersion").asInt(),
+      Option(f.get("kind")).map(_.asText()).getOrElse("base"))
+
+  /** Immutable per-snapshot file list (metadata/manifest-<id>.json). */
+  def renderManifest(files: Seq[DataFile]): String = {
+    val rootN = mapper.createObjectNode()
+    val filesN = rootN.putArray("files")
+    files.foreach(fileToNode(filesN, _))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootN)
+  }
+
+  def parseManifest(json: String): Seq[DataFile] = {
+    val n = mapper.readTree(json)
+    Option(n.get("files")).map(_.elements().asScala.toSeq).getOrElse(Nil)
+      .map(nodeToFile)
+  }
+
   def renderMetadata(m: TableMetadata): String = {
     val rootN = mapper.createObjectNode()
     rootN.put("version", m.version)
     rootN.put("numBuckets", m.numBuckets)
     rootN.put("bucketColumn", m.bucketColumn)
     rootN.put("currentSchemaVersion", m.currentSchemaVersion)
+    rootN.put("retainSnapshots", m.retainSnapshots)
     m.currentSnapshotId.foreach(rootN.put("currentSnapshotId", _))
     m.lwwColumn.foreach(rootN.put("lwwColumn", _))
     m.tombstoneColumn.foreach(rootN.put("tombstoneColumn", _))
+    val lastN = rootN.putObject("lastBatch")
+    m.lastBatch.foreach { case (k, v) => lastN.put(k, v) }
     val schemasN = rootN.putArray("schemas")
     m.schemas.foreach { s =>
       val sn = schemasN.addObject()
@@ -345,12 +472,13 @@ object LakeTable {
       o.put("rowsUpdated", s.rowsUpdated)
       o.put("rowsDeleted", s.rowsDeleted)
       o.put("schemaVersion", s.schemaVersion)
-      val filesN = o.putArray("files")
-      s.files.foreach { f =>
-        val fo = filesN.addObject()
-        fo.put("path", f.path); fo.put("bucket", f.bucket)
-        fo.put("rows", f.rows); fo.put("schemaVersion", f.schemaVersion)
-        fo.put("kind", f.kind)
+      // manifest indirection keeps this file O(retained snapshots): the
+      // file list lives in the snapshot's manifest, never inline
+      s.manifestPath match {
+        case Some(p) => o.put("manifest", p)
+        case None    => // pre-manifest snapshot (writer-local): inline fallback
+          val filesN = o.putArray("files")
+          s.files.foreach(fileToNode(filesN, _))
       }
       val inN = o.putObject("inputSnapshots")
       s.inputSnapshots.foreach { case (k, v) => inN.put(k, v) }
@@ -379,13 +507,11 @@ object LakeTable {
         s.get("rowsInserted").asLong(), s.get("rowsUpdated").asLong(),
         s.get("rowsDeleted").asLong(),
         s.get("schemaVersion").asInt(),
-        arr(s, "files").map(f =>
-          DataFile(f.get("path").asText(), f.get("bucket").asInt(),
-            f.get("rows").asLong(), f.get("schemaVersion").asInt(),
-            Option(f.get("kind")).map(_.asText()).getOrElse("base"))),
+        arr(s, "files").map(nodeToFile),
         Option(s.get("inputSnapshots")).map { in =>
           in.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
-        }.getOrElse(Map.empty)
+        }.getOrElse(Map.empty),
+        manifestPath = Option(s.get("manifest")).map(_.asText())
       )
     }
     TableMetadata(
@@ -397,6 +523,11 @@ object LakeTable {
       Option(n.get("currentSnapshotId")).map(_.asLong()),
       snaps,
       Option(n.get("lwwColumn")).map(_.asText()),
-      Option(n.get("tombstoneColumn")).map(_.asText()))
+      Option(n.get("tombstoneColumn")).map(_.asText()),
+      lastBatch = Option(n.get("lastBatch")).map { lb =>
+        lb.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      }.getOrElse(Map.empty),
+      retainSnapshots =
+        Option(n.get("retainSnapshots")).map(_.asInt()).getOrElse(100))
   }
 }

@@ -33,15 +33,34 @@ object Dedup {
 
   /** All pairs with shingle-Jaccard ≥ threshold: shingle equi-join →
     * common-count → |A∪B| via per-doc counts. Shuffles on shingle (pruned to
-    * docs sharing ≥1 shingle — never all-pairs). */
+    * docs sharing ≥1 shingle — never all-pairs).
+    *
+    * `maxDf` > 0 applies a DOCUMENT-FREQUENCY CAP: shingles shared by more
+    * than `maxDf` documents are dropped before the self-join (and per-doc
+    * sizes count only surviving shingles, so the score stays a true Jaccard
+    * over the capped shingle universe). Without it, one stop-shingle shared
+    * by k docs fans out k² join rows — the cap bounds worst-case fan-out to
+    * maxDf² per shingle, which is what makes this runnable at 10^10 docs.
+    * The dropped (ubiquitous) shingles carry no near-dup signal — this is
+    * the standard stop-shingle filter. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxDf: Int = 0
   ): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    val shAll = shingles(df, idCol, textCol, n)
+    val sh =
+      if (maxDf <= 0) shAll
+      else {
+        // hot set = shingles above the cap — tiny (only stop-shingles), so
+        // the anti join broadcasts under AQE
+        val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("shingle")
+        shAll.join(hot, Seq("shingle"), "left_anti")
+      }
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
     val a = sh.select(col(idCol).as("i"), col("shingle"))
     val b = sh.select(col(idCol).as("j"), col("shingle"))
@@ -129,17 +148,39 @@ object Dedup {
   /** Embedding near-duplicates within coarse cells (IVF-style): pairs are
     * only compared inside the same `cellCol` partition — the pruning that
     * makes near-dup tractable at scale. Cosine computed in double with a
-    * sequential fold (deterministic). */
+    * sequential fold (deterministic).
+    *
+    * `maxCellSize` > 0 bounds the within-cell quadratic blow-up: a cell with
+    * n > maxCellSize members is split into ceil(n/maxCellSize) sub-buckets
+    * by id modulus, and pairs are only compared inside a sub-bucket. A hot
+    * cell's cost drops from n² to ≈ n·maxCellSize at a recall cost
+    * (cross-sub pairs are skipped) — the standard IVF sub-quantization
+    * trade. The modulus is on the numeric id (engine-portable, mirrored by
+    * the DuckDB oracle). */
   def embeddingNearDup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       cellCol: String,
-      threshold: Double
+      threshold: Double,
+      maxCellSize: Int = 0
   ): DataFrame = {
-    val a = df.select(col(cellCol), col(idCol).as("i"), col(vecCol).as("va"))
-    val b = df.select(col(cellCol), col(idCol).as("j"), col(vecCol).as("vb"))
-    a.join(b, Seq(cellCol)).where(col("i") < col("j"))
+    val base =
+      if (maxCellSize <= 0) df.withColumn("__sub", lit(0L))
+      else {
+        // cell counts: one slim agg, #cells rows → AQE broadcasts the join
+        val counts = df.groupBy(col(cellCol)).agg(count(lit(1)).as("__n"))
+        df.join(counts, Seq(cellCol))
+          .withColumn("__nsub",
+            ceil(col("__n") / lit(maxCellSize.toDouble)).cast("long"))
+          .withColumn("__sub", pmod(col(idCol).cast("long"), col("__nsub")))
+          .drop("__n", "__nsub")
+      }
+    val a = base.select(col(cellCol), col("__sub"),
+      col(idCol).as("i"), col(vecCol).as("va"))
+    val b = base.select(col(cellCol), col("__sub"),
+      col(idCol).as("j"), col(vecCol).as("vb"))
+    a.join(b, Seq(cellCol, "__sub")).where(col("i") < col("j"))
       .select(col("i"), col("j"),
         round(Ann.cosine(col("va"), col("vb")), 6).as("cos"))
       .where(col("cos") >= threshold)

@@ -61,16 +61,47 @@ object Multimodal {
     }
   }
 
-  /** Repartition media rows so each partition's payload volume is bounded —
-    * binary columns dominate size, so partition count follows byte budget,
-    * not row count. */
+  /** Repartition media rows so each OUTPUT partition's payload volume is
+    * bounded by `targetBytesPerPartition` — binary columns dominate size, so
+    * balancing by row count (plain round-robin) leaves byte-skewed
+    * partitions when payload sizes vary by orders of magnitude.
+    *
+    * Scheme (one tiny stats job + one shuffle, fully distributed):
+    *  1. per-input-partition byte totals → driver (numPartitions rows);
+    *  2. running byte sum within each input partition (window partitioned by
+    *     `spark_partition_id`, never a global window) + the partition's
+    *     prefix offset = a global byte offset per row;
+    *  3. chunk = floor(offset / target); range-repartition on chunk keeps
+    *     chunks contiguous, so every output partition carries ≈ target
+    *     bytes (± one max-row).
+    */
   def repartitionByPayload(
       df: DataFrame,
       bytesCol: String,
-      targetBytesPerPartition: Long,
-      totalBytes: Long
+      targetBytesPerPartition: Long
   ): DataFrame = {
-    val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
-    df.repartition(parts)
+    import org.apache.spark.sql.expressions.Window
+    val withPid = df.withColumn("__pid", spark_partition_id())
+    val perPart = withPid.groupBy("__pid")
+      .agg(sum(col(bytesCol)).as("__bytes"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offsets = perPart.scanLeft(0L)(_ + _._2)
+    val offsetMap = perPart.map(_._1).zip(offsets).toMap
+    val total = offsets.lastOption.getOrElse(0L)
+    val parts = math.max(1, (total / math.max(1L, targetBytesPerPartition)).toInt + 1)
+    val offsetExpr = offsetMap.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy("__pid")
+      .orderBy(monotonically_increasing_id())
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withPid
+      .withColumn("__chunk",
+        floor((offsetExpr + sum(col(bytesCol)).over(w))
+          / lit(math.max(1L, targetBytesPerPartition))))
+      .repartitionByRange(parts, col("__chunk"))
+      .drop("__pid", "__chunk")
   }
 }

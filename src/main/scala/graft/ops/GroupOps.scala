@@ -39,24 +39,45 @@ object GroupOps {
   }
 
   /** groupBy + named aggs with NaN budget applied per value column in the
-    * same pass (one shuffle). `aggFn` ∈ sum|mean|min|max|median. */
+    * same pass (one shuffle). `aggFn` ∈ sum|mean|min|max|median|first|last|
+    * count|count_distinct. */
   def groupbyAgg(
       df: DataFrame,
       keys: Seq[String],
       valueCols: Seq[String],
       aggFn: String = "sum",
       budget: NanBudget = NanBudget()
+  ): DataFrame =
+    groupbyAggMap(df, keys, valueCols.map(_ -> aggFn).toMap, budget)
+
+  /** Per-column aggregation map — the reference's `groupby_agg` with a dict
+    * of column→function (dataframes.py:310-482 `aggregations` argument).
+    * Still one shuffle: every aggregate and its NaN-budget checks live in the
+    * same `agg(...)` pass with map-side partial aggregation. */
+  def groupbyAggMap(
+      df: DataFrame,
+      keys: Seq[String],
+      aggregations: Map[String, String],
+      budget: NanBudget = NanBudget()
   ): DataFrame = {
-    def baseAgg(c: String): Column = aggFn match {
-      case "sum"    => sum(col(c))
-      case "mean"   => avg(col(c))
-      case "min"    => min(col(c))
-      case "max"    => max(col(c))
-      case "median" => median(col(c))
-      case other    => throw new IllegalArgumentException(s"agg: $other")
+    def baseAgg(c: String, fn: String): Column = fn match {
+      case "sum"            => sum(col(c))
+      case "mean"           => avg(col(c))
+      case "min"            => min(col(c))
+      case "max"            => max(col(c))
+      case "median"         => median(col(c))
+      case "first"          => first(col(c), ignoreNulls = true)
+      case "last"           => last(col(c), ignoreNulls = true)
+      case "count"          => count(col(c))
+      case "count_distinct" => count_distinct(col(c))
+      case other            => throw new IllegalArgumentException(s"agg: $other")
     }
-    val aggs = valueCols.map { c =>
-      when(budget.violated(c), lit(null)).otherwise(baseAgg(c)).as(c)
+    // preserve input column order for the output schema
+    val ordered = df.columns.filter(aggregations.contains).toSeq
+    val aggs = ordered.map { c =>
+      when(budget.violated(c), lit(null))
+        .otherwise(baseAgg(c, aggregations(c)))
+        .as(c)
     }
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -94,40 +115,32 @@ object GroupOps {
       broadcast(members),
       df(entityCol) === members("member"),
       "inner")
-    val mustHaveChecks: Seq[Column] = mustHave.toSeq.flatMap {
-      case (region, entities) =>
-        entities.map { e =>
-          // flag-max check (geo.py:431-466 `_check_countries_must_have_data`
-          // re-expressed as column algebra; no collect_set shuffle of values)
-          max(when(col("region") === region && col("member") === e, 1)
-            .otherwise(0)) === when(
-            max(when(col("region") === region, 1).otherwise(0)) === 1,
-            1).otherwise(0)
-        }
-    }
-    val aggCols = valueCols.map(c => sum(col(c)).as(c))
-    var regionRows = joined
-      .groupBy((col("region").as(entityCol) +: groupKeys.map(col)): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
-    // must-have nulling: recompute with presence flags when requested
-    if (mustHave.nonEmpty) {
-      val presence = mustHave.toSeq.map { case (region, entities) =>
+    // Per-value-column must-have presence (geo.py:431-466
+    // `_check_countries_must_have_data`): a region's aggregate for column c
+    // is NULL when any must-have member lacks a non-null c in that group.
+    // Each column is nulled independently, matching the reference's
+    // per-column behaviour. Pure flag-max column algebra in the same
+    // aggregation pass — no collect_set shuffle of values, one shuffle total.
+    def presenceFor(c: String): Column = {
+      val perRegion = mustHave.toSeq.map { case (region, entities) =>
         val flags = entities.map(e =>
-          max(when(col("member") === e && valueCols
-            .map(v => col(v).isNotNull)
-            .reduce(_ && _), 1).otherwise(0)))
+          max(when(col("member") === e && col(c).isNotNull, 1).otherwise(0)))
         (region, flags.reduce(least(_, _)))
       }
-      val presenceCol = presence.foldLeft(lit(1)) { case (acc, (region, ok)) =>
+      perRegion.foldLeft(lit(1)) { case (acc, (region, ok)) =>
         when(col("region") === region, ok).otherwise(acc)
       }
-      val aggCols2 = valueCols.map(c =>
-        when(presenceCol === 1, sum(col(c))).otherwise(lit(null)).as(c))
-      regionRows = joined
-        .groupBy((col("region") +: groupKeys.map(col)): _*)
-        .agg(aggCols2.head, aggCols2.tail: _*)
-        .withColumnRenamed("region", entityCol)
     }
+    val aggCols = valueCols.map { c =>
+      if (mustHave.isEmpty) sum(col(c)).as(c)
+      else when(presenceFor(c) === 1, sum(col(c))).otherwise(lit(null)).as(c)
+    }
+    // group by the raw `region` column (presence expressions reference it as
+    // a grouping column) and re-key to entityCol afterwards
+    val regionRows = joined
+      .groupBy((col("region") +: groupKeys.map(col)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumnRenamed("region", entityCol)
     val regions = members.select("region").distinct().collect().map(_.getString(0))
     val kept = df.filter(!col(entityCol).isin(regions.toSeq: _*))
     kept.unionByName(regionRows.select(kept.columns.map(col): _*))

@@ -56,6 +56,48 @@ object TableOps {
   def concat(tables: Seq[DataFrame]): DataFrame =
     tables.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Horizontal concat — `concat(axis=1)` (tables.py:2236-2246): stitch
+    * tables side-by-side on the shared primary key, rejecting duplicate
+    * non-key column names (the reference raises on overlapping columns).
+    * Full-outer joins on the key so row sets need not match (pandas index
+    * union semantics). */
+  def concatHorizontal(tables: Seq[DataFrame], on: Seq[String]): DataFrame = {
+    val nonKey = tables.flatMap(_.columns.filterNot(on.contains))
+    val dups = nonKey.groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
+    require(dups.isEmpty, s"concat(axis=1): duplicate columns ${dups.toList}")
+    tables.reduce((a, b) => a.join(b, on, "full_outer"))
+  }
+
+  /** Column selection by name — pandas `DataFrame.filter(like=/regex=)`
+    * used throughout reference steps (`Table.filter`, tables.py inherits
+    * pandas). Keeps `keep` columns (e.g. the pk) unconditionally. */
+  def filterColumns(
+      df: DataFrame,
+      regex: String,
+      keep: Seq[String] = Nil
+  ): DataFrame = {
+    val p = regex.r
+    val cols = df.columns.filter(c =>
+      keep.contains(c) || p.findFirstIn(c).isDefined)
+    df.select(cols.map(col).toSeq: _*)
+  }
+
+  /** Row-wise sum/product across the given columns — `Table.sum`/`prod`
+    * (axis=1) used by reference steps for indicator totals. Nulls are
+    * treated as 0 (sum) / 1 (prod), pandas skipna=True semantics; an
+    * all-null row yields NULL. */
+  def rowSum(cols: Seq[String], as: String): Column = {
+    val anyValid = cols.map(col(_).isNotNull).reduce(_ || _)
+    when(anyValid, cols.map(c => coalesce(col(c), lit(0))).reduce(_ + _))
+      .as(as)
+  }
+
+  def rowProd(cols: Seq[String], as: String): Column = {
+    val anyValid = cols.map(col(_).isNotNull).reduce(_ || _)
+    when(anyValid, cols.map(c => coalesce(col(c), lit(1))).reduce(_ * _))
+      .as(as)
+  }
+
   /** Outer join + per-cell priority coalesce (df1 wins) —
     * `combine_two_overlapping_dataframes`
     * (/root/reference/lib/datautils/owid/datautils/dataframes.py:775-877).

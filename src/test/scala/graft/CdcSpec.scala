@@ -47,12 +47,22 @@ class CdcSpec extends SparkSpec {
     val before = checksum(table.read(spark))
     val versionBefore = table.metadata.version
 
-    // re-deliver batch 1
+    // re-deliver batch 1 from the SAME producer (stepId): idempotent no-op.
+    // Dedup keys on (stepId, batchId) — Delta's txnAppId+txnVersion pattern —
+    // so a different step re-using batchId 1 would NOT be skipped.
     val dup = MergeApply(spark, table,
-      spark.read.schema(Engine.eventSchema).parquet(segs(1)), batchId = 1L)
+      spark.read.schema(Engine.eventSchema).parquet(segs(1)), batchId = 1L,
+      stepId = "cdc_ingest")
     assert(dup.skipped)
     assert(table.metadata.version == versionBefore)
     assert(checksum(table.read(spark)) == before)
+
+    // an older batchId from the same producer is also a no-op (monotonic
+    // high-watermark), and a NEW batchId from a different step applies
+    val dup0 = MergeApply(spark, table,
+      spark.read.schema(Engine.eventSchema).parquet(segs(0)), batchId = 0L,
+      stepId = "cdc_ingest")
+    assert(dup0.skipped)
   }
 
   import spark.implicits._
@@ -115,7 +125,7 @@ class CdcSpec extends SparkSpec {
     // compaction folds deltas into base files; state unchanged
     MergeApply.compact(spark, mor)
     val m = mor.metadata
-    assert(m.currentSnapshot.get.files.forall(_.kind == "base"))
+    assert(mor.filesOf(m.currentSnapshot.get).forall(_.kind == "base"))
     assert(checksum(mor.read(spark)) == want)
 
     val cow = Engine.createPagesTable(tmpDir("lake-cow") + "/pages", 4)

@@ -110,12 +110,33 @@ class GroupWindowSpec extends SparkSpec {
   }
 
   test("interpolate: linear interior fill, time-weighted") {
-    val out = WindowOps.interpolate(gaps, Seq("country"), "year", "v")
+    val out = WindowOps.interpolate(gaps, Seq("country"), "year", "v",
+        limitArea = Some("inside"))
       .orderBy("country", "year").as[(String, Int, Option[Double])].collect()
     val usa = out.filter(_._1 == "usa").map(_._3)
     assert(usa.toSeq == Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0), Some(60.0)))
     val fra = out.filter(_._1 == "fra").map(_._3)
     assert(fra.toSeq == Seq(None, Some(5.0), None)) // edges stay null
+  }
+
+  test("interpolate: limit_direction/limit_area clamp edges like pandas") {
+    // default (both, None): leading/trailing gaps clamp to nearest known
+    val both = WindowOps.interpolate(gaps, Seq("country"), "year", "v")
+      .orderBy("country", "year").as[(String, Int, Option[Double])].collect()
+    assert(both.filter(_._1 == "fra").map(_._3).toSeq ==
+      Seq(Some(5.0), Some(5.0), Some(5.0)))
+    // forward only: leading gap stays null, trailing clamps
+    val fwd = WindowOps.interpolate(gaps, Seq("country"), "year", "v",
+        limitDirection = "forward")
+      .orderBy("country", "year").as[(String, Int, Option[Double])].collect()
+    assert(fwd.filter(_._1 == "fra").map(_._3).toSeq ==
+      Seq(None, Some(5.0), Some(5.0)))
+    // outside only: interior gaps stay null, edges clamp
+    val outside = WindowOps.interpolate(gaps, Seq("country"), "year", "v",
+        limitArea = Some("outside"))
+      .orderBy("country", "year").as[(String, Int, Option[Double])].collect()
+    assert(outside.filter(_._1 == "usa").map(_._3).toSeq ==
+      Seq(Some(10.0), None, None, Some(40.0), Some(60.0)))
   }
 
   test("expandTimeColumn densifies per entity") {

@@ -95,6 +95,84 @@ class LakeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { table.commit(m.copy(version = m.version)) }
   }
 
+  test("manifest indirection + retention bound metadata growth at 100+ batches") {
+    val dir = tmpDir("lake-ret") + "/pages"
+    val table = cdc.Engine.createPagesTable(dir, 2, retainSnapshots = 10)
+    def evd(lsn: Long, url: String) = graft.model.ChangeEvent(
+      lsn, "U", url, new java.sql.Timestamp(0), Array.emptyByteArray, s"t$lsn", "en")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    var sizeAt50 = 0L
+    for (i <- 0 until 100) {
+      cdc.MergeApply(spark, table, Seq(evd(i.toLong, s"u${i % 7}")).toDS.toDF,
+        i.toLong, stepId = "cdc_ingest")
+      if (i == 49) {
+        val m = table.metadata
+        sizeAt50 = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          dir, s"metadata/v${m.version}.metadata.json")).getLen
+      }
+    }
+    val m = table.metadata
+    // snapshot log truncated to the retention window → metadata file size
+    // is flat between batch 50 and batch 100 (strictly: within 20%)
+    assert(m.snapshots.size == 10)
+    val sizeAt100 = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      dir, s"metadata/v${m.version}.metadata.json")).getLen
+    assert(sizeAt100 <= (sizeAt50 * 1.2).toLong,
+      s"metadata grew: $sizeAt50 -> $sizeAt100")
+    // snapshot file lists live in manifests, not inline
+    assert(m.snapshots.forall(_.manifestPath.isDefined))
+    // expired snapshots' manifests are deleted; retained ones exist
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "metadata/manifest-1.json")))
+    assert(m.snapshots.forall(s =>
+      fs.exists(new org.apache.hadoop.fs.Path(dir, s.manifestPath.get))))
+    // exactly-once ledger survives truncation: replaying batch 3 is a no-op
+    val dup = cdc.MergeApply(spark, table, Seq(evd(3, "u3")).toDS.toDF, 3L,
+      stepId = "cdc_ingest")
+    assert(dup.skipped)
+    // time travel still works inside the retention window
+    val oldest = m.snapshots.head.snapshotId
+    assert(table.read(spark, asOfSnapshot = Some(oldest)).count() == 7)
+    // final state correct: 7 distinct urls
+    assert(table.read(spark).count() == 7)
+  }
+
+  test("missing version hint recovers from the highest metadata file") {
+    val dir = tmpDir("lake-hint") + "/pages"
+    val table = cdc.Engine.createPagesTable(dir, 2)
+    def evd(lsn: Long, url: String) = graft.model.ChangeEvent(
+      lsn, "U", url, new java.sql.Timestamp(0), Array.emptyByteArray, "t", "en")
+    cdc.MergeApply(spark, table, Seq(evd(1, "u1")).toDS.toDF, 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "metadata/version-hint.text"), false)
+    // reader recovers; create() still refuses (no silent re-init over data)
+    assert(table.exists)
+    assert(table.read(spark).count() == 1)
+    intercept[IllegalArgumentException] {
+      table.create(fields, 2, "k")
+    }
+  }
+
+  test("MOR read reconciles only delta keys; clean buckets pass through") {
+    val dir = tmpDir("lake-mor-scope") + "/pages"
+    val table = cdc.Engine.createPagesTable(dir, 4)
+    def evd(lsn: Long, op: String, url: String) = graft.model.ChangeEvent(
+      lsn, op, url, new java.sql.Timestamp(0), Array.emptyByteArray, s"t$lsn", "en")
+    // big base (compacted), tiny delta touching 2 keys
+    val base = (1 to 200).map(i => evd(i.toLong, "U", s"u$i"))
+    cdc.MergeApply(spark, table, base.toDS.toDF, 0L, stepId = "cdc_ingest")
+    cdc.MergeApply.compact(spark, table)
+    cdc.MergeApply(spark, table,
+      Seq(evd(1000, "U", "u17"), evd(1001, "D", "u42")).toDS.toDF,
+      1L, stepId = "cdc_ingest")
+    val got = table.read(spark)
+    assert(got.count() == 199) // u42 deleted
+    assert(got.filter($"url" === "u17").select("text").as[String].head() == "t1000")
+    // stale base row for u17 is gone (reconciliation picked the delta row)
+    assert(got.filter($"url" === "u17").count() == 1)
+  }
+
   test("interleaved reader during commits sees only committed snapshots") {
     val dir = tmpDir("lake-c") + "/pages"
     val table = cdc.Engine.createPagesTable(dir, 2)
