@@ -822,6 +822,44 @@ object Queries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** datadiff keyed row compare (datadiff.py:755-1237 / compare_tables
+    * misc.py:484-663): one full-outer join + tolerance classify. */
+  def qDatadiff(spark: SparkSession, dir: String): DataFrame = {
+    val oldT = t(spark, dir, "customer")
+      .filter(col("c_nationkey") < 20)
+      .groupBy(col("c_nationkey").as("k"))
+      .agg(count(lit(1)).as("n"))
+    val newT = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 0 && col("c_nationkey") >= 5)
+      .groupBy(col("c_nationkey").as("k"))
+      .agg(count(lit(1)).as("n"))
+    Diff.rowDiff(oldT, newT, Seq("k"))
+      .select(col("k"), col("_status").as("status"),
+        size(col("_changed_cols")).as("n_changed"))
+      .orderBy("k")
+  }
+
+  val qDatadiffSql: String =
+    """WITH o AS (SELECT c_nationkey AS k, COUNT(*) AS n FROM customer
+      |           WHERE c_nationkey < 20 GROUP BY 1),
+      |n2 AS (SELECT c_nationkey AS k, COUNT(*) AS n FROM customer
+      |       WHERE c_acctbal > 0 AND c_nationkey >= 5 GROUP BY 1),
+      |j AS (SELECT COALESCE(o.k, n2.k) AS k, o.n AS a, n2.n AS b,
+      |        o.k IS NOT NULL AS in_old, n2.k IS NOT NULL AS in_new
+      |      FROM o FULL OUTER JOIN n2 ON o.k = n2.k),
+      |c AS (SELECT *,
+      |        CASE WHEN (a IS NULL AND b IS NULL)
+      |               OR (a IS NOT NULL AND b IS NOT NULL
+      |                   AND ABS(a - b) <= 1e-8 + 1e-8 * ABS(b))
+      |             THEN 0 ELSE 1 END AS n_changed
+      |      FROM j)
+      |SELECT k,
+      |  CASE WHEN NOT in_new THEN 'only_in_old'
+      |       WHEN NOT in_old THEN 'only_in_new'
+      |       WHEN n_changed > 0 THEN 'changed' ELSE 'equal' END AS status,
+      |  n_changed
+      |FROM c ORDER BY k""".stripMargin
+
   /** Deterministic top-k (SURVEY §2.6). */
   def qTopK(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -873,6 +911,7 @@ object Queries {
     "q_groupby_agg_map" -> ((qGroupbyAggMap _, qGroupbyAggMapSql)),
     "q_concat_axis1" -> ((qConcatAxis1 _, qConcatAxis1Sql)),
     "q_row_total" -> ((qRowTotal _, qRowTotalSql)),
-    "q_doubling_time" -> ((qDoublingTime _, qDoublingTimeSql))
+    "q_doubling_time" -> ((qDoublingTime _, qDoublingTimeSql)),
+    "q_datadiff" -> ((qDatadiff _, qDatadiffSql))
   )
 }
