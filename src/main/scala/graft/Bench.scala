@@ -52,12 +52,12 @@ object Bench {
     // vs 0.9 s for an identical-shape query in round 1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     if (!skipQueries) {
-      try {
-        SparkEntry.queries("q1_agg")(spark, sfDir)
+      // one of each execution shape: codegen agg/join, window, HOF+explode
+      for (w <- Seq("q1_agg", "q_rolling", "q_ngram_jaccard")) {
+        try SparkEntry.queries(w)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        SparkEntry.queries("q_rolling")(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
+        catch { case _: Throwable => () }
+      }
     }
     val results: Seq[(String, Double)] =
       if (skipQueries) Nil

@@ -33,6 +33,18 @@ object ExplainAudit {
       .withColumn("_bucket", pmod(xxhash64(col("url")), lit(32)).cast("int"))
       .repartition(col("_bucket"))
       .explain("formatted")
+
+    println("\n======== MOR read reconciliation plan (base >> delta) ========")
+    // regression gate: the read of a MOR table must reconcile ONLY delta
+    // keys — no aggregate over the whole base table, and the aggregate/
+    // broadcast side must derive from the delta scan, not the base scan
+    val dir2 = java.nio.file.Files.createTempDirectory("audit-mor").toString + "/pages"
+    val t = cdc.Engine.createPagesTable(dir2, 4)
+    cdc.MergeApply(spark, t, events.limit(5000), 0L, stepId = "audit")
+    cdc.MergeApply.compact(spark, t)
+    cdc.MergeApply(spark, t,
+      events.limit(50).withColumn("lsn", col("lsn") + 1000000L), 1L, stepId = "audit")
+    t.read(spark).explain("formatted")
     spark.stop()
   }
 }

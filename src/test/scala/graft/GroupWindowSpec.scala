@@ -157,6 +157,73 @@ class GroupWindowSpec extends SparkSpec {
     assert(out.forall(_._2 == 5.0))
   }
 
+  test("explodeByTimeRange: empty/inverted ranges emit no rows") {
+    val df = Seq((1L, 2000, 2000, 10.0), (2L, 2005, 2001, 8.0),
+      (3L, 2000, 2001, 6.0)).toDF("id", "y0", "y1", "v")
+    val out = WindowOps.explodeByTimeRange(df, "y0", "y1", "yr", Seq("v"), scale = false)
+      .select("id").as[Long].collect()
+    assert(out.toSeq == Seq(3L)) // only the valid 1-year range survives
+  }
+
+  test("expandTimeColumn: full_range / observed / until + fillna strategies") {
+    val df = Seq(("usa", 2000, Some(1.0)), ("usa", 2002, Some(3.0)),
+      ("fra", 2001, Some(5.0))).toDF("country", "year", "v")
+    // full_range: every entity covers the GLOBAL range 2000..2002
+    val fr = WindowOps.expandTimeColumn(df, Seq("country"), "year",
+        method = "full_range", fillna = Seq("zero"))
+      .orderBy("country", "year").as[(String, Int, Option[Double])].collect()
+    assert(fr.count(_._1 == "fra") == 3)
+    assert(fr.filter(_._1 == "fra").map(_._3).toSeq ==
+      Seq(Some(0.0), Some(5.0), Some(0.0)))
+    // observed: entity x observed-times only
+    val ob = WindowOps.expandTimeColumn(df, Seq("country"), "year",
+        method = "observed")
+      .orderBy("country", "year").as[(String, Int, Option[Double])].collect()
+    assert(ob.filter(_._1 == "fra").map(_._2).toSeq == Seq(2000, 2001, 2002))
+    // until + ffill: extend to 2004 forward-filled
+    val un = WindowOps.expandTimeColumn(df, Seq("country"), "year",
+        method = "full_range_entity", untilTime = Some(2004),
+        fillna = Seq("interpolate", "ffill"))
+      .orderBy("country", "year").as[(String, Int, Option[Double])].collect()
+    val usa = un.filter(_._1 == "usa").map(_._3)
+    assert(usa.toSeq == Seq(Some(1.0), Some(2.0), Some(3.0), Some(3.0), Some(3.0)))
+    // since extension backwards, left null without fill
+    val si = WindowOps.expandTimeColumn(df, Seq("country"), "year",
+        method = "none", sinceTime = Some(1999))
+      .orderBy("country", "year").as[(String, Int, Option[Double])].collect()
+    assert(si.filter(_._1 == "fra").map(_._2).toSeq == Seq(1999, 2000, 2001))
+    assert(si.filter(t => t._1 == "fra" && t._2 < 2001).forall(_._3.isEmpty))
+  }
+
+  test("groupTransform broadcasts the group aggregate to member rows") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("k", "v")
+    val out = GroupOps.groupTransform(df, Seq("k"), "v", "sum")
+      .select("k", "v_sum").as[(String, Double)].collect().toSet
+    assert(out == Set(("a", 4.0), ("b", 5.0)))
+    val m = GroupOps.groupTransform(df, Seq("k"), "v", "size")
+      .filter($"k" === "a").select("v_size").as[Long].head()
+    assert(m == 2L)
+  }
+
+  test("groupbyAggMap: per-column aggregation in one pass") {
+    val df = Seq(("a", 1.0, 10.0), ("a", 3.0, 20.0), ("b", 5.0, 7.0))
+      .toDF("k", "x", "y")
+    val out = GroupOps.groupbyAggMap(df, Seq("k"),
+        Map("x" -> "sum", "y" -> "max"))
+      .orderBy("k").as[(String, Double, Double)].collect()
+    assert(out.toSeq == Seq(("a", 4.0, 20.0), ("b", 5.0, 7.0)))
+  }
+
+  test("doublingTime: periods*ln2/ln(1+pct); null for flat/shrinking") {
+    val df = Seq(("a", 1, 100.0), ("a", 2, 200.0), ("a", 3, 200.0))
+      .toDF("k", "t", "v")
+    val out = WindowOps.doublingTime(df, Seq("k"), "t", "v", periods = 1)
+      .orderBy("t").select("v_doubling").as[Option[Double]].collect()
+    assert(out(0).isEmpty) // no lag
+    assert(math.abs(out(1).get - 1.0) < 1e-12) // doubled in 1 period
+    assert(out(2).isEmpty) // flat → null
+  }
+
   test("reshape: melt→pivot round-trip") {
     val wide = Seq(("usa", 2020, 1.0, 2.0)).toDF("c", "y", "gdp", "pop")
     val long = Reshape.melt(wide, Seq("c", "y"), Seq("gdp", "pop"))

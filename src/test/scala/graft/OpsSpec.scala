@@ -105,6 +105,71 @@ class OpsSpec extends SparkSpec {
       Checksums.tableChecksum(c, Seq("k", "v")))
   }
 
+  test("filterColumns selects by regex, keeps pinned columns") {
+    val df = Seq((1, 2.0, 3.0, "x")).toDF("id", "gdp_2020", "gdp_2021", "note")
+    val out = TableOps.filterColumns(df, "^gdp_", keep = Seq("id"))
+    assert(out.columns.toSeq == Seq("id", "gdp_2020", "gdp_2021"))
+  }
+
+  test("rowSum/rowProd skip nulls; all-null row yields NULL") {
+    val df = Seq[(Option[Double], Option[Double])](
+      (Some(2.0), Some(3.0)), (Some(2.0), None), (None, None))
+      .toDF("a", "b")
+    val out = df.select(
+        TableOps.rowSum(Seq("a", "b"), "s"),
+        TableOps.rowProd(Seq("a", "b"), "p"))
+      .as[(Option[Double], Option[Double])].collect()
+    assert(out(0) == ((Some(5.0), Some(6.0))))
+    assert(out(1) == ((Some(2.0), Some(2.0)))) // null treated as 0 / 1
+    assert(out(2) == ((None, None)))
+  }
+
+  test("concatHorizontal stitches on pk, rejects duplicate columns") {
+    val a = Seq((1, 10.0)).toDF("k", "x")
+    val b = Seq((1, 20.0), (2, 30.0)).toDF("k", "y")
+    val out = TableOps.concatHorizontal(Seq(a, b), Seq("k")).orderBy("k")
+    assert(out.columns.toSeq == Seq("k", "x", "y"))
+    assert(out.count() == 2) // index union (full outer)
+    intercept[IllegalArgumentException] {
+      TableOps.concatHorizontal(Seq(a, a), Seq("k"))
+    }
+  }
+
+  test("intersect/except: native set ops behave on keyed frames") {
+    val a = Seq(1, 2, 3).toDF("k")
+    val b = Seq(2, 3, 4).toDF("k")
+    assert(a.intersect(b).as[Int].collect().sorted.toSeq == Seq(2, 3))
+    assert(a.except(b).as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("yieldLongTables: one pruned long frame per value column") {
+    val wide = Seq(("usa", 2020, Some(1.0), None: Option[Double]))
+      .toDF("c", "y", "gdp", "pop")
+    val out = Reshape.yieldLongTables(wide, Seq("c", "y"), Seq("gdp", "pop"))
+    assert(out.keySet == Set("gdp", "pop"))
+    assert(out("gdp").columns.toSeq == Seq("c", "y", "value"))
+    assert(out("gdp").count() == 1)
+    assert(out("pop").count() == 0) // nulls dropped
+  }
+
+  test("harmonizeCountries + report: mapping, excluded, diagnostics") {
+    val df = Seq("United States", "USA!", "Atlantis", "France")
+      .toDF("country")
+    val mapping = Map("USA!" -> "United States", "Unused" -> "X")
+    val out = Geo.harmonizeCountries(df, mapping, excluded = Seq("Atlantis"))
+      .as[String].collect().sorted
+    assert(out.toSeq == Seq("France", "United States", "United States"))
+    val nan = Geo.harmonizeCountries(df, mapping, excluded = Seq("Atlantis"),
+        makeMissingNan = true)
+      .as[Option[String]].collect().flatten.sorted
+    assert(nan.toSeq == Seq("United States")) // unmapped → null
+    val rep = Geo.harmonizeReport(df, mapping,
+      excluded = Seq("Atlantis", "Ghost"))
+    assert(rep.unmatched == Seq("France", "United States"))
+    assert(rep.unusedMappings == Seq("Unused"))
+    assert(rep.unknownExcluded == Seq("Ghost"))
+  }
+
   test("names: underscore rules match the reference surface") {
     assert(Names.underscore("GDP (current US$)") == "gdp_current_us")
     assert(Names.underscore("Côte d'Ivoire") == "cote_divoire")

@@ -70,6 +70,40 @@ class TrainOpsSpec extends SparkSpec {
     assert(ivf.map(_._2).toSet == Set(1L, 2L)) // cell 1 (vec 3) pruned away
   }
 
+  test("ngram jaccard: capped path equals uncapped when no shingle is hot") {
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == uncapped)
+    // a cap below the planted dup cluster's df drops its shared shingles
+    val tight = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 1)
+    assert(tight.count() == 0)
+  }
+
+  test("IVF k-means trainer: deterministic cells, argmin-consistent") {
+    // two well-separated clusters around (0,0) and (10,10)
+    val vecs = Seq(
+      (1L, Array(0.1f, 0.0f)), (2L, Array(0.0f, 0.2f)), (3L, Array(0.2f, 0.1f)),
+      (4L, Array(10.0f, 9.9f)), (5L, Array(9.8f, 10.1f)), (6L, Array(10.2f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Ann.trainIvfCells(vecs, "vec_id", "embedding", k = 2, iters = 4)
+    assert(cents.size == 2)
+    val assigned = vecs.select(col("vec_id"),
+        Ann.assignCells(col("embedding"), cents).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    // each cluster lands in one cell, clusters in different cells
+    assert(Set(assigned(1L), assigned(2L), assigned(3L)).size == 1)
+    assert(Set(assigned(4L), assigned(5L), assigned(6L)).size == 1)
+    assert(assigned(1L) != assigned(4L))
+    // deterministic across runs
+    val cents2 = Ann.trainIvfCells(vecs, "vec_id", "embedding", k = 2, iters = 4)
+    assert(cents == cents2)
+    // converged centroids sit at the cluster means
+    val c0 = cents(assigned(1L))
+    assert(math.abs(c0(0) - 0.1) < 1e-6 && math.abs(c0(1) - 0.1) < 1e-6)
+  }
+
   test("ANN: LSH buckets are deterministic and self-consistent") {
     val vecs = Seq(
       (0L, Array.fill(8)(1f)), (1L, Array.fill(8)(1f)),
