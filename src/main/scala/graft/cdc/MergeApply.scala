@@ -168,29 +168,45 @@ object MergeApply {
     mode match {
       case MergeOnRead =>
         // ---- append-only delta commit: cost ∝ batch size ------------------
-        // LWW dedup rides the bucket shuffle the write needs anyway:
-        // map-side combine (hashmap max-LSN per key inside each input
-        // partition — drops intra-partition losers before anything moves)
-        // → repartition by _bucket (all events of a key land together by
-        // construction: bucket = hash(key)) → final in-partition reduce.
-        // Compared to the aggregate+broadcast-semi-join shape, this removes
-        // the per-batch broadcast build barrier and one slim shuffle — the
-        // serial sections that capped N→4N scaling efficiency. Memory is
-        // bounded by DISTINCT keys per partition (one winner row each), not
-        // by events, so a single-key flood costs one hashmap entry.
-        // (mapPartitions is justified here: the declarative alternatives
-        // are max_by — a var-width SortAggregate over payloads — or the
-        // agg+join — an extra shuffle plus a broadcast barrier.)
+        // Two dedup strategies, both LWW-exact; pick by duplication profile:
+        //  - "broadcast" (default): slim max-LSN agg + broadcast semi join —
+        //    only WINNING payloads ever shuffle. Best when keys repeat a lot
+        //    within a batch but are spread across input partitions (the
+        //    web-crawl profile: measured 216k vs 121k ev/s on 20-events/url
+        //    batches, because reduce-by-key shuffles every map-side
+        //    survivor's 3 KB payload while this shuffles winners only).
+        //  - "reduce" (SPARK_GRAFT_MOR_DEDUP=reduce): map-side hashmap
+        //    combine → bucket shuffle → in-partition reduce. No broadcast
+        //    barrier, one fewer shuffle stage; wins when duplication is
+        //    mostly intra-partition (binlog tail with locality, replays).
         val snapId = meta.currentSnapshotId.getOrElse(0L) + 1
         val snapDirRel = s"data/snap-$snapId"
         val obsM = Observation(s"mor-$batchId")
         dbg("pre-write")
-        val projected = observedBatch.select(
-          (col(key) +: valueCols.map(col)) ++ Seq(
-            col("lsn").as("_lsn"),
-            (col("op") === "D").as("_deleted"),
-            pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket")): _*)
-        lwwReduceByKey(projected, key)
+        val strategy = sys.props.getOrElse("graft.mor.dedup",
+          sys.env.getOrElse("SPARK_GRAFT_MOR_DEDUP", "broadcast"))
+        val deduped =
+          if (strategy == "reduce") {
+            val projected = observedBatch.select(
+              (col(key) +: valueCols.map(col)) ++ Seq(
+                col("lsn").as("_lsn"),
+                (col("op") === "D").as("_deleted"),
+                pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket")): _*)
+            lwwReduceByKey(projected, key)
+          } else {
+            source.select(
+              (col(key) +:
+                valueCols.map(c => col(s"__s_$c").as(c))) ++
+                Seq(
+                  col("__s_lsn").as("_lsn"),
+                  (col("__s_op") === "D").as("_deleted"),
+                  pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket")): _*)
+              // repartition by bucket bounds file count to numBuckets per
+              // batch (without it each task writes every bucket dir:
+              // tasks×buckets small files, which kills subsequent reads)
+              .repartition(col("_bucket"))
+          }
+        deduped
           .observe(obsM,
             sum(when(col("_deleted"), 1).otherwise(0)).as("dels"),
             count(lit(1)).as("rows"))

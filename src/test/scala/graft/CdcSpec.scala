@@ -133,6 +133,21 @@ class CdcSpec extends SparkSpec {
     assert(checksum(cow.read(spark)) == want)
   }
 
+  test("MOR reduce-by-key dedup strategy converges to the same state") {
+    val cfg = EventGen.Config(nEvents = 6000, nUrls = 400, seed = 77,
+      deleteRatio = 0.1, parallelism = 4)
+    val walDir = tmpDir("wal-reduce")
+    val segs = EventGen.writeWalSegments(spark, cfg, walDir, 3)
+    val events = spark.read.schema(Engine.eventSchema).parquet(walDir + "/*")
+    val want = checksum(Engine.goldenFinalState(events))
+    System.setProperty("graft.mor.dedup", "reduce")
+    try {
+      val t = Engine.createPagesTable(tmpDir("lake-reduce") + "/pages", 4)
+      Engine.replaySegments(spark, segs, t, mode = MergeApply.MergeOnRead)
+      assert(checksum(t.read(spark)) == want)
+    } finally System.clearProperty("graft.mor.dedup")
+  }
+
   test("property: any batch split of the same log converges to the golden state") {
     val rnd = new scala.util.Random(97)
     val n = 600
