@@ -14,6 +14,7 @@ import org.apache.spark.sql.streaming.Trigger
   *                                               [--mode mor|cow] [--continuous SECONDS]
   *                                               [--buckets B] [--compact-every K] [--salt S]
   * spark-submit --class graft.Main <jar> compact --table DIR [--purge-tombstones]
+  * spark-submit --class graft.Main <jar> vacuum  --table DIR
   * spark-submit --class graft.Main <jar> catalog --store DIR
   * spark-submit --class graft.Main <jar> state   --table DIR [--as-of SNAPSHOT]
   * }}}
@@ -21,7 +22,8 @@ import org.apache.spark.sql.streaming.Trigger
 object Main {
 
   private def parse(args: Array[String]): (String, Map[String, String]) = {
-    require(args.nonEmpty, "usage: <gen|ingest|compact|catalog|state> [--k v ...]")
+    require(args.nonEmpty,
+      "usage: <gen|ingest|compact|vacuum|catalog|state> [--k v ...]")
     val cmd = args.head
     val opts = args.tail.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
@@ -77,6 +79,10 @@ object Main {
         val id = MergeApply.compact(spark, new LakeTable(o("table")),
           purgeTombstones = o.contains("purge-tombstones"))
         println(id.map(i => s"compacted into snapshot $i").getOrElse("nothing to compact"))
+
+      case "vacuum" =>
+        val n = new LakeTable(o("table")).vacuum()
+        println(s"vacuum deleted $n unreferenced data files")
 
       case "catalog" =>
         Catalog.index(spark, o("store")).show(1000, truncate = false)

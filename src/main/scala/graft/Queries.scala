@@ -860,6 +860,25 @@ object Queries {
       |  n_changed
       |FROM c ORDER BY k""".stripMargin
 
+  /** groupby().transform('sum') — the group aggregate broadcast back to
+    * member rows (TableGroupBy wrapper, tables.py:1869-1971). */
+  def qGroupTransform(spark: SparkSession, dir: String): DataFrame =
+    GroupOps.groupTransform(
+        t(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            dec(col("c_acctbal")).as("bal")),
+        Seq("c_nationkey"), "bal", "sum")
+      .select(col("c_custkey"), col("c_nationkey"),
+        d(col("bal")).as("bal"), d(col("bal_sum")).as("bal_sum"))
+      .orderBy("c_custkey")
+
+  val qGroupTransformSql: String =
+    """SELECT c_custkey, c_nationkey,
+      |  CAST(CAST(c_acctbal AS DECIMAL(28,2)) AS DOUBLE) AS bal,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2)))
+      |    OVER (PARTITION BY c_nationkey) AS DOUBLE) AS bal_sum
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** Deterministic top-k (SURVEY §2.6). */
   def qTopK(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
@@ -912,6 +931,7 @@ object Queries {
     "q_concat_axis1" -> ((qConcatAxis1 _, qConcatAxis1Sql)),
     "q_row_total" -> ((qRowTotal _, qRowTotalSql)),
     "q_doubling_time" -> ((qDoublingTime _, qDoublingTimeSql)),
-    "q_datadiff" -> ((qDatadiff _, qDatadiffSql))
+    "q_datadiff" -> ((qDatadiff _, qDatadiffSql)),
+    "q_group_transform" -> ((qGroupTransform _, qGroupTransformSql))
   )
 }

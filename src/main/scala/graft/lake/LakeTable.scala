@@ -360,7 +360,10 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
     pmod(xxhash64(col(keyCol)), lit(metadata.numBuckets)).cast("int")
 
   /** List parquet files under a snapshot data dir, with bucket parsed from
-    * the `_bucket=<k>` partition dir. */
+    * the `_bucket=<k>` partition dir and the row count read from the parquet
+    * footer (driver-side metadata read, one small IO per file — file count
+    * per commit is bounded by numBuckets). Per-file row counts are the
+    * per-partition lineage metric recorded in each snapshot's manifest. */
   def listDataFiles(snapDirRel: String, schemaVersion: Int, spark: SparkSession,
       kind: String = "base"): Seq[DataFile] = {
     val snapDir = new Path(root, snapDirRel)
@@ -376,10 +379,52 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
           case _                             => -1
         }
         val rel = p.toString.stripPrefix(root.toString).stripPrefix("/")
-        out += DataFile(rel, bucket, -1L, schemaVersion, kind)
+        out += DataFile(rel, bucket, footerRowCount(p), schemaVersion, kind)
       }
     }
     out.toSeq
+  }
+
+  /** Row count from the parquet footer (no data pages read). */
+  private def footerRowCount(p: Path): Long =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hadoopConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Garbage-collect data files and snapshot dirs no longer referenced by
+    * any RETAINED snapshot (expired by the retention window or replaced by
+    * compaction/CoW rewrites). Never touches files a retained snapshot still
+    * carries forward. Returns the number of deleted files. Single-writer
+    * discipline applies (run from the writer, not concurrently with it). */
+  def vacuum(): Long = {
+    val m = metadata
+    val live: Set[String] = m.snapshots.flatMap(s => filesOf(s).map(_.path)).toSet
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) return 0L
+    var deleted = 0L
+    val it = fs.listFiles(dataDir, true)
+    val toDelete = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) {
+        val rel = p.toString.stripPrefix(root.toString).stripPrefix("/")
+        if (!live.contains(rel)) toDelete += p
+      }
+    }
+    toDelete.foreach { p => if (fs.delete(p, false)) deleted += 1 }
+    // drop snapshot dirs left empty (ignore _SUCCESS / partition dirs)
+    fs.listStatus(dataDir).foreach { st =>
+      if (st.isDirectory) {
+        val files = fs.listFiles(st.getPath, true)
+        var hasData = false
+        while (files.hasNext && !hasData)
+          hasData = files.next().getPath.getName.endsWith(".parquet")
+        if (!hasData) fs.delete(st.getPath, true)
+      }
+    }
+    deleted
   }
 
   def deleteDataDir(snapDirRel: String): Unit = {

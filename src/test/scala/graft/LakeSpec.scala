@@ -173,6 +173,38 @@ class LakeSpec extends SparkSpec {
     assert(got.filter($"url" === "u17").count() == 1)
   }
 
+  test("vacuum deletes only files unreferenced by retained snapshots; " +
+      "manifests carry real per-file row counts") {
+    val dir = tmpDir("lake-vac") + "/pages"
+    val table = cdc.Engine.createPagesTable(dir, 2, retainSnapshots = 2)
+    def evd(lsn: Long, url: String) = graft.model.ChangeEvent(
+      lsn, "U", url, new java.sql.Timestamp(0), Array.emptyByteArray, s"t$lsn", "en")
+    for (i <- 0 until 6)
+      cdc.MergeApply(spark, table, Seq(evd(i.toLong, s"u${i % 3}")).toDS.toDF,
+        i.toLong, stepId = "cdc_ingest")
+    cdc.MergeApply.compact(spark, table)
+    // per-partition lineage: every manifest file entry has a real row count
+    val files = table.filesOf(table.metadata.currentSnapshot.get)
+    assert(files.nonEmpty && files.forall(_.rows >= 1))
+    assert(files.map(_.rows).sum == 3) // 3 live urls after compaction
+    // two more batches age the pre-compaction snapshots (which still carry
+    // every delta file forward) out of the retention window → the old delta
+    // files become unreferenced garbage
+    for (i <- 6 until 8)
+      cdc.MergeApply(spark, table, Seq(evd(i.toLong, s"u${i % 3}")).toDS.toDF,
+        i.toLong, stepId = "cdc_ingest")
+    def state() = table.read(spark).select("url", "text")
+      .as[(String, String)].collect().sorted.toSeq
+    val before = state()
+    val deleted = table.vacuum()
+    assert(deleted > 0) // pre-compaction deltas outside the retention window
+    assert(state() == before)
+    // every retained snapshot is still fully readable after vacuum
+    table.metadata.snapshots.foreach { s =>
+      table.read(spark, asOfSnapshot = Some(s.snapshotId)).count()
+    }
+  }
+
   test("interleaved reader during commits sees only committed snapshots") {
     val dir = tmpDir("lake-c") + "/pages"
     val table = cdc.Engine.createPagesTable(dir, 2)
