@@ -369,20 +369,27 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
     val snapDir = new Path(root, snapDirRel)
     if (!fs.exists(snapDir)) return Nil
     val it = fs.listFiles(snapDir, true)
-    val out = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+    val paths = scala.collection.mutable.ArrayBuffer.empty[Path]
     while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath
-      if (p.getName.endsWith(".parquet")) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) paths += p
+    }
+    // footer reads are independent driver-side IO — do them concurrently,
+    // or they serialize into ~1 s per commit at 32 files (measured)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val files = paths.toSeq.map { p =>
+      Future {
         val bucket = p.getParent.getName match {
           case s if s.startsWith("_bucket=") => s.stripPrefix("_bucket=").toInt
           case _                             => -1
         }
         val rel = p.toString.stripPrefix(root.toString).stripPrefix("/")
-        out += DataFile(rel, bucket, footerRowCount(p), schemaVersion, kind)
+        DataFile(rel, bucket, footerRowCount(p), schemaVersion, kind)
       }
     }
-    out.toSeq
+    Await.result(Future.sequence(files), 120.seconds)
   }
 
   /** Row count from the parquet footer (no data pages read). */
