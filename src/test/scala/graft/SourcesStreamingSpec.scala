@@ -116,6 +116,37 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(idx(1)._2 == -1L)
   }
 
+  test("WAL contiguity monitor: gaps and late events across micro-batches") {
+    import graft.streaming.WalMonitor
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val events = in.toDF.toDF("shard", "lsn")
+    val q = WalMonitor.detectGaps(events, "shard")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wal_gaps")
+      .option("checkpointLocation", tmpDir("ckpt-gaps"))
+      .start()
+    // batch 1: contiguous 1..3 on shard a; internal gap on shard b (1,2,5)
+    in.addData(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L), ("b", 2L), ("b", 5L))
+    q.processAllAvailable()
+    // batch 2: shard a skips to 7 (cross-batch gap) and redelivers 2 (late)
+    in.addData(("a", 7L), ("a", 2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT shard, kind, from, to, n FROM wal_gaps")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("b", "gap", 3L, 4L, 2L),   // internal gap in batch 1
+      ("a", "gap", 4L, 6L, 3L),   // cross-batch gap (state carried 3)
+      ("a", "late", 2L, 2L, 1L))) // redelivery below the high watermark
+    // batch mode runs with empty state — internal gaps only
+    val batch = WalMonitor.detectGaps(
+      Seq(("c", 1L), ("c", 4L)).toDF("shard", "lsn"), "shard")
+      .collect().toSeq
+    assert(batch == Seq(WalMonitor.GapReport("c", "gap", 2L, 3L, 2L)))
+  }
+
   test("hot-domain monitor surfaces the Zipf head") {
     val cfg = cdc.EventGen.Config(nEvents = 5000, nUrls = 500, seed = 13,
       skew = 3.0, parallelism = 4)
