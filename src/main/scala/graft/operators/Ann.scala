@@ -12,8 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Elementwise-double dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Elementwise-double dot product of two numeric-array columns — the
+    * native Catalyst expression (fused codegen loop, no intermediate array;
+    * graft.functions.DotProductExpr). Registered lazily on the active
+    * session; identical left-to-right fold as the HOF form below. */
+  def dot(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.VectorExpressions.register)
+    graft.functions.VectorExpressions.dot_product(a, b)
+  }
+
+  /** The declarative HOF spelling of the same fold — kept as the reference
+    * implementation the native expression is tested against (ExprSpec). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
