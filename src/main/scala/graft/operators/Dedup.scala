@@ -14,25 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles per document: one row (id, shingle).
-    * Array-native (split + transform + explode) — no UDF.
-    *
-    * The token array is BOUND as a lambda variable via an outer
-    * single-element transform: higher-order functions evaluate interpreted
-    * (no codegen), so a lambda body that references `split(text)` directly
-    * re-splits the text for every element — O(tokens²) per row. Binding
-    * `t` evaluates the split once per row (measured 5-10× on the shingle
-    * stage). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
-    def gramsOf(t: Column): Column = transform(
-      sequence(lit(0), size(t) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))
-    val grams = element_at(
-      transform(array(toks), t => array_distinct(gramsOf(t))), 1)
-    df.filter(size(toks) >= n)
-      .select(col(idCol), explode(grams).as("shingle"))
-  }
+  /** Distinct word n-gram shingles per document: one row (id, shingle),
+    * via the native `word_ngrams` expression (graft.functions.WordNgramsExpr)
+    * — ONE split + sliding window + hash-set dedup per row, versus the
+    * interpreted HOF spelling (split + transform + array_distinct) that
+    * re-evaluates per-element expression trees. Documents with fewer than n
+    * tokens yield an empty array, which `explode` drops. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.NgramExpression.word_ngrams(col(textCol), n))
+        .as("shingle"))
 
   /** Exact dedup: group by content hash, keep the lowest id
     * (hash-groupBy — one shuffle on the digest). */
