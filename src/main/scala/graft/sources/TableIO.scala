@@ -66,6 +66,52 @@ object TableIO {
     (if (safeTypes) Repack.toSafeTypes(df) else df, meta)
   }
 
+  /** Fixed-width file reader — `read_fwf` (tables.py:2472): one distributed
+    * text scan, columns sliced by (start, end) character positions in the
+    * projection (codegen substring, no UDF). `colSpecs` is
+    * (name, startInclusive, endExclusive), 0-based, pandas colspecs
+    * semantics. Values are trimmed; types left as string (cast downstream,
+    * as the reference does via repack/astype). */
+  def readFwf(
+      spark: SparkSession,
+      path: String,
+      colSpecs: Seq[(String, Int, Int)],
+      skipRows: Int = 0
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(colSpecs.nonEmpty, "readFwf: empty colSpecs")
+    val bad = colSpecs.map(_._1).filterNot(Names.isValid)
+    require(bad.isEmpty, s"non-underscore column names: ${bad.mkString(", ")}")
+    val raw = spark.read.text(path)
+    val body =
+      if (skipRows <= 0) raw
+      else { // header lines: drop the first k lines of each file
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(input_file_name())
+          .orderBy(monotonically_increasing_id())
+        raw.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") > skipRows).drop("__rn")
+      }
+    body.select(colSpecs.map { case (name, start, end) =>
+      trim(substring(col("value"), start + 1, end - start)).as(name)
+    }: _*)
+  }
+
+  /** In-memory records → table — `read_records`/`read_dict`
+    * (tables.py:2520-2560): rows as maps over a declared column order. */
+  def readRecords(
+      spark: SparkSession,
+      columns: Seq[String],
+      records: Seq[Map[String, String]]
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = org.apache.spark.sql.types.StructType(
+      columns.map(c => StructField(c, StringType)))
+    val rows = records.map(r => Row.fromSeq(columns.map(c => r.get(c).orNull)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   // ------------------------------------------------------------- sidecar io
 
   def writeSidecar(dir: String, meta: TableMeta, format: String): Unit = {

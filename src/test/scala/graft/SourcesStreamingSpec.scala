@@ -116,6 +116,27 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(idx(1)._2 == -1L)
   }
 
+  test("readFwf slices fixed-width columns; readRecords builds from maps") {
+    val dir = tmpDir("fwf")
+    val lines = Seq(
+      "NAME      YEARVAL ",
+      "usa       20201.50",
+      "france    20212.25")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "data.txt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val df = TableIO.readFwf(spark, dir + "/data.txt",
+      Seq(("name", 0, 10), ("year", 10, 14), ("v", 14, 18)), skipRows = 1)
+    val got = df.select("name", "year", "v")
+      .as[(String, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("france", "2021", "2.25"), ("usa", "2020", "1.50")))
+
+    val rec = TableIO.readRecords(spark, Seq("a", "b"),
+      Seq(Map("a" -> "1", "b" -> "x"), Map("a" -> "2")))
+    val rows = rec.as[(Option[String], Option[String])].collect().toSet
+    assert(rows == Set((Some("1"), Some("x")), (Some("2"), None)))
+  }
+
   test("WAL contiguity monitor: gaps and late events across micro-batches") {
     import graft.streaming.WalMonitor
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
