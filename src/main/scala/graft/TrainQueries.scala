@@ -99,7 +99,30 @@ object TrainQueries {
     Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text", bits = 16)
       .orderBy("doc_id")
 
-  val qSimhashSql: String = {
+  /** SimHash banded near-dup candidates, Hamming ≤ 3 over 16 bits / 4
+    * bands. */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text",
+      bits = 16)
+    Dedup.simhashPairs(sig, "doc_id", bits = 16, bands = 4, maxHamming = 3)
+      .orderBy("i", "j")
+  }
+
+  val qSimhashPairsSql: String = {
+    // reuse the simhash signature SQL below via a CTE wrapper
+    val bandJoins = (0 until 4).map { b =>
+      s"(s1.simhash >> ${b * 4}) & 15 = (s2.simhash >> ${b * 4}) & 15"
+    }.mkString(" OR ")
+    s"""WITH sims AS ($qSimhashInner)
+       |SELECT DISTINCT s1.doc_id AS i, s2.doc_id AS j,
+       |  CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INTEGER) AS hamming
+       |FROM sims s1 JOIN sims s2
+       |  ON s1.doc_id < s2.doc_id AND ($bandJoins)
+       |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+       |ORDER BY i, j""".stripMargin
+  }
+
+  private lazy val qSimhashInner: String = {
     val hexVal =
       (1 to 4).map { p =>
         val mult = math.pow(16, 4 - p).toLong
@@ -120,6 +143,8 @@ object TrainQueries {
        |  FROM hv GROUP BY doc_id)
        |SELECT doc_id, $sig AS simhash FROM sums ORDER BY doc_id""".stripMargin
   }
+
+  val qSimhashSql: String = qSimhashInner
 
   // --------------------------------------------------------------- ANN / cos
 
@@ -286,6 +311,7 @@ object TrainQueries {
     "q_minhash_sig" -> ((qMinhashSig _, qMinhashSigSql)),
     "q_minhash_lsh_pairs" -> ((qMinhashLshPairs _, qMinhashLshPairsSql)),
     "q_simhash" -> ((qSimhash _, qSimhashSql)),
+    "q_simhash_pairs" -> ((qSimhashPairs _, qSimhashPairsSql)),
     "q_ann_topk" -> ((qAnnTopK _, qAnnTopKSql)),
     "q_embedding_neardup" -> ((qEmbeddingNearDup _, qEmbeddingNearDupSql)),
     "q_lang_id" -> ((qLangId _, qLangIdSql)),

@@ -171,6 +171,43 @@ object Dedup {
     summed.select(col(idCol), sig.as("simhash"))
   }
 
+  /** SimHash near-dup candidate pairs with Hamming verification: split the
+    * `bits`-bit signature into `bands` contiguous bit-bands; docs sharing
+    * any band key are candidates (a pair within Hamming distance d < bands
+    * must agree on ≥1 band — pigeonhole), then verify
+    * bit_count(a XOR b) ≤ maxHamming exactly. Same banded equi-join shape
+    * as MinHash LSH: never all-pairs, fan-out bounded per band bucket. */
+  def simhashPairs(
+      signatures: DataFrame, // (idCol, simhash long)
+      idCol: String,
+      bits: Int,
+      bands: Int,
+      maxHamming: Int
+  ): DataFrame = {
+    require(bits % bands == 0, "bits must divide into equal bands")
+    require(maxHamming < bands,
+      "pigeonhole guarantee needs maxHamming < bands (else pairs are missed)")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val bandCols = (0 until bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        shiftright(col("simhash"), bIdx * width).bitwiseAND(mask).as("bk"))
+    }
+    val banded = signatures
+      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("b"))
+      .select(col(idCol), col("simhash"),
+        col("b.band").as("band"), col("b.bk").as("bk"))
+    val l = banded.select(col(idCol).as("i"), col("simhash").as("sa"),
+      col("band"), col("bk"))
+    val r = banded.select(col(idCol).as("j"), col("simhash").as("sb"),
+      col("band"), col("bk"))
+    l.join(r, Seq("band", "bk")).where(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Embedding near-duplicates within coarse cells (IVF-style): pairs are
     * only compared inside the same `cellCol` partition — the pruning that
     * makes near-dup tractable at scale. Cosine computed in double with a
