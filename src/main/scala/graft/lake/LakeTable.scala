@@ -247,6 +247,24 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
       currentSchemaVersion = ns.schemaVersion))
   }
 
+  /** Drop a column (new schema version without the field). Data files are
+    * not touched; the field-ID projection simply stops selecting it — and a
+    * later addColumn of the same name gets a FRESH id, so old values never
+    * resurrect (Iceberg drop semantics). */
+  def dropColumn(name: String): Unit = {
+    val m = metadata
+    val cur = m.currentSchema
+    require(cur.fields.exists(_.name == name), s"no column: $name")
+    require(name != m.bucketColumn, s"cannot drop the key column: $name")
+    require(!m.lwwColumn.contains(name) && !m.tombstoneColumn.contains(name),
+      s"cannot drop an engine column: $name")
+    val ns = LakeSchema(cur.schemaVersion + 1, cur.fields.filterNot(_.name == name))
+    commit(m.copy(
+      version = m.version + 1,
+      schemas = m.schemas :+ ns,
+      currentSchemaVersion = ns.schemaVersion))
+  }
+
   /** Rename a column in place (same field-ID, new schema version). Old data
     * files keep the old physical name; the read remap projects by ID. */
   def renameColumn(from: String, to: String): Unit = {

@@ -258,5 +258,17 @@ class CdcSpec extends SparkSpec {
     assert(r1.toSeq == Seq(("u1", "t1"), ("u2", "t2b"), ("u3", "t3")))
     table.renameColumn("body", "text")
     assert(table.read(spark).columns.contains("text"))
+
+    // drop: field projected out, data untouched; re-adding the same name
+    // gets a FRESH field id so old values never resurrect
+    table.dropColumn("fetch_status")
+    assert(!table.read(spark).columns.contains("fetch_status"))
+    table.addColumn("fetch_status", "int")
+    val resurrect = table.read(spark)
+      .select("fetch_status").as[Option[Int]].collect()
+    assert(resurrect.forall(_.isEmpty)) // all NULL, not 200
+    // engine columns are protected
+    intercept[IllegalArgumentException] { table.dropColumn("url") }
+    intercept[IllegalArgumentException] { table.dropColumn("_lsn") }
   }
 }
