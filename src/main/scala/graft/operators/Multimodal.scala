@@ -61,19 +61,41 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling plumbing: one row per sampled frame index, stride-based
+    * (every `stride`-th frame up to `maxFrames` per media row) — the
+    * sequence+explode fan-out a video pipeline feeds to the decoder. The
+    * decode of each sampled frame is the stubbed step; the row explosion,
+    * bounds and ordering are the real Spark-side contract. */
+  def sampleFrames(
+      features: DataFrame, // needs (id, n_frames)
+      stride: Int,
+      maxFrames: Int
+  ): DataFrame = {
+    require(stride >= 1 && maxFrames >= 1)
+    val lastFrame = least(col("n_frames") - 1,
+      lit((maxFrames - 1).toLong * stride))
+    features
+      .withColumn("frame_idx",
+        explode(when(col("n_frames") > 0,
+          sequence(lit(0L), lastFrame.cast("long"), lit(stride.toLong)))))
+  }
+
   /** Repartition media rows so each OUTPUT partition's payload volume is
-    * bounded by `targetBytesPerPartition` — binary columns dominate size, so
-    * balancing by row count (plain round-robin) leaves byte-skewed
-    * partitions when payload sizes vary by orders of magnitude.
+    * bounded by `targetBytesPerPartition` (± one row) — binary columns
+    * dominate size, so balancing by row count (plain round-robin) leaves
+    * byte-skewed partitions when payload sizes vary by orders of magnitude.
     *
     * Scheme (one tiny stats job + one shuffle, fully distributed):
     *  1. per-input-partition byte totals → driver (numPartitions rows);
     *  2. running byte sum within each input partition (window partitioned by
     *     `spark_partition_id`, never a global window) + the partition's
     *     prefix offset = a global byte offset per row;
-    *  3. chunk = floor(offset / target); range-repartition on chunk keeps
-    *     chunks contiguous, so every output partition carries ≈ target
-    *     bytes (± one max-row).
+    *  3. chunk = floor(offset / target); an IDENTITY partitioner on the
+    *     chunk id (chunk i → partition i) makes every output partition
+    *     exactly one ≈target-byte chunk. This is the one step Spark SQL
+    *     can't express (repartitionByRange samples by ROW count and
+    *     repartition hashes, both re-skew), so it drops to an RDD
+    *     `Partitioner` for the shuffle only.
     */
   def repartitionByPayload(
       df: DataFrame,
@@ -90,18 +112,32 @@ object Multimodal {
     val offsets = perPart.scanLeft(0L)(_ + _._2)
     val offsetMap = perPart.map(_._1).zip(offsets).toMap
     val total = offsets.lastOption.getOrElse(0L)
-    val parts = math.max(1, (total / math.max(1L, targetBytesPerPartition)).toInt + 1)
+    val target = math.max(1L, targetBytesPerPartition)
+    val parts = math.max(1, (total / target).toInt + 1)
     val offsetExpr = offsetMap.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
       when(col("__pid") === pid, lit(off)).otherwise(acc)
     }
     val w = Window.partitionBy("__pid")
       .orderBy(monotonically_increasing_id())
       .rowsBetween(Window.unboundedPreceding, 0)
-    withPid
+    val chunked = withPid
       .withColumn("__chunk",
-        floor((offsetExpr + sum(col(bytesCol)).over(w))
-          / lit(math.max(1L, targetBytesPerPartition))))
-      .repartitionByRange(parts, col("__chunk"))
-      .drop("__pid", "__chunk")
+        least(floor((offsetExpr + sum(col(bytesCol)).over(w)) / lit(target)),
+          lit(parts - 1L)))
+      .drop("__pid")
+    val chunkIdx = chunked.schema.fieldIndex("__chunk")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      chunked.schema.filterNot(_.name == "__chunk"))
+    val identity = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = parts
+      override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+    }
+    val rdd = chunked.rdd
+      .map(r => r.getLong(chunkIdx) ->
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.patch(chunkIdx, Nil, 1)))
+      .partitionBy(identity)
+      .map(_._2)
+    df.sparkSession.createDataFrame(rdd, outSchema)
   }
 }

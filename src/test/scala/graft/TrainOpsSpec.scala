@@ -171,5 +171,26 @@ class TrainOpsSpec extends SparkSpec {
     // determinism across runs
     val f2 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.id)
     assert(f.toSeq == f2.toSeq)
+
+    // frame sampling: stride fan-out bounded by maxFrames, empty media drop
+    val frames = Multimodal.sampleFrames(
+        Seq((1L, 10L), (2L, 1L), (3L, 0L)).toDF("id", "n_frames"),
+        stride = 3, maxFrames = 3)
+      .select("id", "frame_idx").as[(Long, Long)].collect().sorted
+    assert(frames.toSeq == Seq((1L, 0L), (1L, 3L), (1L, 6L), (2L, 0L)))
+
+    // byte-budget repartitioning balances by payload size, not row count:
+    // no output partition may hold much more than the byte budget (chunk
+    // granularity: budget + one chunk + one max row of slack)
+    val sized = (1 to 100).map(i =>
+      (i.toLong, if (i <= 4) 1000L else 10L)).toDF("id", "bytes")
+    val parts = Multimodal.repartitionByPayload(sized, "bytes", 1200L)
+    assert(parts.count() == 100)
+    val perPart = parts
+      .groupBy(spark_partition_id().as("p"))
+      .agg(sum($"bytes").as("b"))
+      .select("b").as[Long].collect()
+    assert(perPart.length >= 3) // ~5 KB total / 1.2 KB budget
+    assert(perPart.max <= 1200L + 1200L + 1000L, s"skewed: ${perPart.toSeq}")
   }
 }
