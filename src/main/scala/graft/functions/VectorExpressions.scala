@@ -26,24 +26,32 @@ case class DotProductExpr(left: Expression, right: Expression)
   override val nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
 
+  // Only fixed-width primitive element types: every accepted type has a typed
+  // ArrayData getter on both the interpreted and generated paths. Decimal (not
+  // a java.lang.Number) and other exotic numerics are rejected up front rather
+  // than failing at runtime.
   private def elemType(dt: DataType): Option[DataType] = dt match {
-    case ArrayType(et: NumericType, _) => Some(et)
-    case _                             => None
+    case ArrayType(et @ (FloatType | DoubleType | IntegerType | LongType |
+                         ShortType | ByteType), _) => Some(et)
+    case _ => None
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
     (elemType(left.dataType), elemType(right.dataType)) match {
       case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"dot_product expects numeric arrays, got ${left.dataType}, ${right.dataType}")
+        s"dot_product expects arrays of float/double/int/long/short/byte, " +
+          s"got ${left.dataType}, ${right.dataType}")
     }
 
   @inline private def get(a: ArrayData, et: DataType, i: Int): Double = et match {
-    case FloatType  => a.getFloat(i).toDouble
-    case DoubleType => a.getDouble(i)
+    case FloatType   => a.getFloat(i).toDouble
+    case DoubleType  => a.getDouble(i)
     case IntegerType => a.getInt(i).toDouble
-    case LongType   => a.getLong(i).toDouble
-    case _          => a.get(i, et).asInstanceOf[Number].doubleValue()
+    case LongType    => a.getLong(i).toDouble
+    case ShortType   => a.getShort(i).toDouble
+    case ByteType    => a.getByte(i).toDouble
+    case _ => throw new IllegalStateException(s"unreachable: $et") // guarded by checkInputDataTypes
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -64,7 +72,9 @@ case class DotProductExpr(left: Expression, right: Expression)
       case DoubleType  => s"$arr.getDouble($i)"
       case IntegerType => s"(double) $arr.getInt($i)"
       case LongType    => s"(double) $arr.getLong($i)"
-      case _           => s"((Number) $arr.get($i, null)).doubleValue()"
+      case ShortType   => s"(double) $arr.getShort($i)"
+      case ByteType    => s"(double) $arr.getByte($i)"
+      case _ => throw new IllegalStateException(s"unreachable: $et") // guarded by checkInputDataTypes
     }
     val etA = elemType(left.dataType).get
     val etB = elemType(right.dataType).get

@@ -195,8 +195,10 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
         case Some(_) => s
         case None =>
           val rel = s"metadata/manifest-${s.snapshotId}.json"
-          val p = new Path(root, rel)
-          if (!fs.exists(p)) writeString(p, renderManifest(s.files))
+          // written unconditionally: a pre-existing file for a not-yet-committed
+          // snapshot is debris from a crashed attempt and must be clobbered,
+          // same discipline as vN.metadata.json below
+          writeString(new Path(root, rel), renderManifest(s.files))
           s.copy(manifestPath = Some(rel))
       }
     }
@@ -207,13 +209,16 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
     val (kept, expired) =
       if (withManifests.size <= meta.retainSnapshots) (withManifests, Nil)
       else withManifests.splitAt(withManifests.size - meta.retainSnapshots).swap
-    expired.foreach(_.manifestPath.foreach(m => fs.delete(new Path(root, m), false)))
 
     val mPath = new Path(metaDir, s"v$next.metadata.json")
     writeString(mPath, renderMetadata(meta.copy(snapshots = kept))) // clobbers uncommitted debris
     val tmp = new Path(metaDir, s".version-hint.$next.tmp")
     writeString(tmp, next.toString)
     overwriteRename(tmp, hint)
+    // expired manifests are deleted only after the hint swap: until then the
+    // previously-committed metadata still references them, and a crash in the
+    // window would otherwise break time-travel reads and vacuum()
+    expired.foreach(_.manifestPath.foreach(m => fs.delete(new Path(root, m), false)))
   }
 
   /** Single atomic overwrite-rename (no delete-then-rename window). */

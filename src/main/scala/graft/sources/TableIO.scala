@@ -82,15 +82,19 @@ object TableIO {
     require(colSpecs.nonEmpty, "readFwf: empty colSpecs")
     val bad = colSpecs.map(_._1).filterNot(Names.isValid)
     require(bad.isEmpty, s"non-underscore column names: ${bad.mkString(", ")}")
-    val raw = spark.read.text(path)
     val body =
-      if (skipRows <= 0) raw
-      else { // header lines: drop the first k lines of each file
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(input_file_name())
-          .orderBy(monotonically_increasing_id())
-        raw.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") > skipRows).drop("__rn")
+      if (skipRows <= 0) spark.read.text(path)
+      else {
+        // header lines: drop the first k lines of each file. Line numbering
+        // must follow byte offsets, but Spark packs a multi-split file's
+        // splits into partitions in size order, so window-over-
+        // monotonically_increasing_id is NOT offset-ordered. wholetext reads
+        // each file as one row (exact line order by construction); FWF files
+        // with header rows are snapshot-ingest units, so the one-file-in-
+        // memory bound is acceptable and documented here.
+        spark.read.option("wholetext", "true").text(path)
+          .select(posexplode(split(col("value"), "\r?\n")).as(Seq("__pos", "value")))
+          .where(col("__pos") >= skipRows).drop("__pos")
       }
     body.select(colSpecs.map { case (name, start, end) =>
       trim(substring(col("value"), start + 1, end - start)).as(name)
