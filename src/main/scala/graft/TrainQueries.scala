@@ -99,27 +99,62 @@ object TrainQueries {
     Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text", bits = 16)
       .orderBy("doc_id")
 
-  /** SimHash banded near-dup candidates, Hamming ≤ 3 over 16 bits / 4
-    * bands. */
+  /** SimHash banded near-dup candidates, Hamming ≤ 3 over a 64-bit
+    * signature split into 4×16-bit bands (the scale parametrization:
+    * band-key space 2^16 per band, so LSH buckets shrink as the corpus
+    * grows — vs the 16-bit variant's constant 16-value band space whose
+    * candidates grow n²/16). md5-based basis here so DuckDB mirrors it
+    * bit-for-bit; production default is the xxhash64 basis
+    * (Dedup.simhashWide md5Based=false, covered by TrainOpsSpec). */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = Dedup.simhash(t(spark, dir, "documents"), "doc_id", "text",
-      bits = 16)
-    Dedup.simhashPairs(sig, "doc_id", bits = 16, bands = 4, maxHamming = 3)
+    val sig = Dedup.simhashWide(t(spark, dir, "documents"), "doc_id", "text",
+      md5Based = true)
+    Dedup.simhashWidePairs(sig, "doc_id", maxHamming = 3)
       .orderBy("i", "j")
   }
 
   val qSimhashPairsSql: String = {
-    // reuse the simhash signature SQL below via a CTE wrapper
-    val bandJoins = (0 until 4).map { b =>
-      s"(s1.simhash >> ${b * 4}) & 15 = (s2.simhash >> ${b * 4}) & 15"
-    }.mkString(" OR ")
-    s"""WITH sims AS ($qSimhashInner)
+    val bandJoins = (0 until 4).map(c => s"s1.sim$c = s2.sim$c").mkString(" OR ")
+    val hamming = (0 until 4)
+      .map(c => s"bit_count(xor(s1.sim$c, s2.sim$c))").mkString(" + ")
+    s"""WITH sims AS ($qSimhashWideInner)
        |SELECT DISTINCT s1.doc_id AS i, s2.doc_id AS j,
-       |  CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INTEGER) AS hamming
+       |  CAST($hamming AS INTEGER) AS hamming
        |FROM sims s1 JOIN sims s2
        |  ON s1.doc_id < s2.doc_id AND ($bandJoins)
-       |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+       |WHERE $hamming <= 3
        |ORDER BY i, j""".stripMargin
+  }
+
+  /** The wide (4×16-bit chunk) simhash in portable SQL: chunk c's 16-bit
+    * basis value is hex chars [4c+1, 4c+4] of md5(token). */
+  private lazy val qSimhashWideInner: String = {
+    def hexVal(c: Int): String =
+      (1 to 4).map { p =>
+        val mult = math.pow(16, 4 - p).toLong
+        s"(STRPOS('0123456789abcdef', SUBSTR(md5(tok), ${c * 4 + p}, 1)) - 1) * $mult"
+      }.mkString(" + ")
+    val hvCols = (0 until 4).map(c => s"${hexVal(c)} AS v$c").mkString(",\n    ")
+    val bitSums = (for { c <- 0 until 4; b <- 0 until 16 } yield
+      s"SUM(CASE WHEN (v$c // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s${c}_$b")
+      .mkString(",\n    ")
+    val sigs = (0 until 4).map { c =>
+      (0 until 16)
+        .map(b => s"(CASE WHEN s${c}_$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ") + s" AS sim$c"
+    }.mkString(",\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+       |hv AS (SELECT doc_id,
+       |    $hvCols
+       |  FROM toks),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hv GROUP BY doc_id)
+       |SELECT doc_id,
+       |  $sigs
+       |FROM sums""".stripMargin
   }
 
   private lazy val qSimhashInner: String = {

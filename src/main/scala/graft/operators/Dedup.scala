@@ -208,6 +208,85 @@ object Dedup {
       .distinct()
   }
 
+  /** 64-bit SimHash held as FOUR independent 16-bit chunk signatures
+    * (`sim0..sim3`) — semantically one 64-bit signature split into 4
+    * contiguous 16-bit bands, kept as separate columns so band keys and
+    * per-chunk Hamming never touch a signed 64-bit sign bit (portable to
+    * any engine without unsigned 64-bit ints).
+    *
+    * This is the SCALE parametrization: each band key ranges over 2^16
+    * values, so LSH bucket sizes SHRINK as the corpus grows — unlike the
+    * 16-bit/4-bit-band variant above whose constant 16-value band space
+    * makes candidate pairs grow as n²/16.
+    *
+    * Basis hash per token: `md5Based = true` takes hex chars [4c+1, 4c+4]
+    * of md5(token) for chunk c (engine-portable — the DuckDB oracle path);
+    * `false` (production default) takes the four 16-bit slices of ONE
+    * xxhash64(token) call (codegen'd, no string hex parsing). */
+  def simhashWide(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      md5Based: Boolean = false
+  ): DataFrame = {
+    val chunks = 4
+    val bitsPer = 16
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val withHv =
+      if (md5Based) {
+        val m = md5(col("tok"))
+        toks.select(col(idCol) +: (0 until chunks).map(c =>
+          conv(substring(m, c * 4 + 1, 4), 16, 10).cast("long").as(s"hv$c")): _*)
+      } else {
+        val h = xxhash64(col("tok"))
+        toks.select(col(idCol) +: (0 until chunks).map(c =>
+          shiftright(h, c * bitsPer).bitwiseAND(lit(0xFFFFL)).as(s"hv$c")): _*)
+      }
+    val bitSums = for { c <- 0 until chunks; b <- 0 until bitsPer } yield
+      sum(when(shiftright(col(s"hv$c"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s${c}_$b")
+    val summed = withHv.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sigCols = (0 until chunks).map { c =>
+      (0 until bitsPer).map(b =>
+        when(col(s"s${c}_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"sim$c")
+    }
+    summed.select(col(idCol) +: sigCols: _*)
+  }
+
+  /** Near-dup candidate pairs from the wide simhash: docs sharing ANY 16-bit
+    * chunk value are candidates (pigeonhole: Hamming ≤ maxHamming < 4 bands
+    * ⇒ at least one band agrees exactly), verified by the exact 64-bit
+    * Hamming distance (sum of per-chunk bit_count(xor)). Banded equi-join on
+    * (band, 16-bit key): bucket sizes are ~n/2^16 per key — bounded fan-out
+    * at 10^10 docs, never all-pairs. */
+  def simhashWidePairs(
+      signatures: DataFrame, // (idCol, sim0..sim3)
+      idCol: String,
+      maxHamming: Int
+  ): DataFrame = {
+    require(maxHamming < 4,
+      "pigeonhole guarantee needs maxHamming < 4 bands (else pairs are missed)")
+    val chunks = 0 until 4
+    val bandCols = chunks.map(c =>
+      struct(lit(c).as("band"), col(s"sim$c").as("bk")))
+    val banded = signatures
+      .select(col(idCol) +: chunks.map(c => col(s"sim$c"))
+        :+ explode(array(bandCols: _*)).as("b"): _*)
+      .select(col(idCol) +: chunks.map(c => col(s"sim$c"))
+        :+ col("b.band").as("band") :+ col("b.bk").as("bk"): _*)
+    val l = banded.select(col(idCol).as("i") +:
+      chunks.map(c => col(s"sim$c").as(s"a$c")) :+ col("band") :+ col("bk"): _*)
+    val r = banded.select(col(idCol).as("j") +:
+      chunks.map(c => col(s"sim$c").as(s"b$c")) :+ col("band") :+ col("bk"): _*)
+    val hamming = chunks.map(c =>
+      bit_count(col(s"a$c").bitwiseXOR(col(s"b$c")))).reduce(_ + _)
+    l.join(r, Seq("band", "bk")).where(col("i") < col("j"))
+      .select(col("i"), col("j"), hamming.cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Embedding near-duplicates within coarse cells (IVF-style): pairs are
     * only compared inside the same `cellCol` partition — the pruning that
     * makes near-dup tractable at scale. Cosine computed in double with a

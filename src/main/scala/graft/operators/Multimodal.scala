@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * (the Scala analogue of `mapInPandas` — one decoder instance per
   * partition, rows streamed through it).
   *
-  * The actual codec step is STUBBED (no image/audio libraries exist in this
-  * container): `decodeStub` derives deterministic fake features from the
-  * bytes. The Spark-side contract — schema, binary column handling,
-  * partition-level batching, feature struct shape — is real and tested;
-  * swapping the stub for a JNI/OpenCV decoder changes only the function
-  * body.
+  * Decoders are pluggable, routed on the typed `kind` column: BMP and WAV
+  * decode FOR REAL (pure-JVM header parsers below, zero external deps);
+  * compressed codecs (jpeg/mp4/...) remain STUBBED (no codec libraries
+  * exist in this container): `decodeStub` derives deterministic fake
+  * features from the bytes. The Spark-side contract — schema, binary
+  * column handling, partition-level batching, feature struct shape — is
+  * identical on both paths; swapping a stub for a JNI/OpenCV decoder
+  * changes only the function body.
   */
 object Multimodal {
 
@@ -50,14 +52,83 @@ object Multimodal {
       digest = digest)
   }
 
+  /** REAL decoder: BMP header parse (pure JVM, zero external deps).
+    * Validates the 'BM' magic, reads width/height as little-endian int32 at
+    * offsets 18/22 (BITMAPINFOHEADER); a negative height encodes top-down
+    * row order → absolute value. Single image → n_frames = 1. */
+  def decodeBmp(r: MediaRow): MediaFeatures = {
+    val b = r.media
+    require(b != null && b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
+      s"not a BMP payload (id=${r.id})")
+    def le32(off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    MediaFeatures(
+      id = r.id, kind = r.kind, n_bytes = b.length.toLong,
+      width = le32(18), height = math.abs(le32(22)), n_frames = 1,
+      digest = graft.ops.Checksums.md5Hex(new String(b, "ISO-8859-1")))
+  }
+
+  /** REAL decoder: WAV (RIFF) header parse. Validates 'RIFF'/'WAVE', reads
+    * the fmt chunk (channels LE16 @+2, sample rate LE32 @+4, block align
+    * LE16 @+12 within the chunk body) and walks the chunk list to the
+    * 'data' chunk. Feature mapping for audio: width = sample rate (Hz),
+    * height = channel count, n_frames = sample frames (data bytes /
+    * block align). */
+  def decodeWav(r: MediaRow): MediaFeatures = {
+    val b = r.media
+    def tag(off: Int): String =
+      if (b.length < off + 4) "" else new String(b, off, 4, "US-ASCII")
+    require(b != null && b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"not a WAV payload (id=${r.id})")
+    def le16(off: Int): Int = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+    def le32(off: Int): Int =
+      le16(off) | ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    var off = 12
+    var channels = 0; var sampleRate = 0; var blockAlign = 0; var dataLen = -1L
+    while (off + 8 <= b.length && dataLen < 0) {
+      val id = tag(off); val size = le32(off + 4)
+      id match {
+        case "fmt " =>
+          channels = le16(off + 10); sampleRate = le32(off + 12)
+          blockAlign = le16(off + 20)
+        case "data" => dataLen = size.toLong
+        case _      => ()
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    require(dataLen >= 0 && blockAlign > 0, s"malformed WAV (id=${r.id})")
+    MediaFeatures(
+      id = r.id, kind = r.kind, n_bytes = b.length.toLong,
+      width = sampleRate, height = channels,
+      n_frames = (dataLen / blockAlign).toInt,
+      digest = graft.ops.Checksums.md5Hex(new String(b, "ISO-8859-1")))
+  }
+
+  /** Pluggable decoder dispatch, routed on the typed `kind` metadata column
+    * (never magic-sniffing the payload — a text body may begin with 'BM').
+    * image/bmp and audio/wav decode for real; every other kind takes the
+    * declared stub. */
+  def decode(r: MediaRow): MediaFeatures = r.kind match {
+    case "image/bmp" => decodeBmp(r)
+    case "audio/wav" => decodeWav(r)
+    case _           => decodeStub(r)
+  }
+
   /** Batched feature extraction: one decoder per partition, rows streamed —
     * the mapInPandas-shaped plumbing. Binary payloads never shuffle: the
-    * map runs in the scan stage; only the (small) feature rows move on. */
-  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    * map runs in the scan stage; only the (small) feature rows move on.
+    * `decoder` defaults to the kind-routed dispatch (real BMP/WAV parsers,
+    * stub otherwise). */
+  def extractFeatures(
+      spark: SparkSession,
+      media: Dataset[MediaRow],
+      decoder: MediaRow => MediaFeatures = decode
+  ): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder init would go here (expensive handle reuse)
-      rows.map(decodeStub)
+      rows.map(decoder)
     }
   }
 
@@ -114,9 +185,12 @@ object Multimodal {
     val total = offsets.lastOption.getOrElse(0L)
     val target = math.max(1L, targetBytesPerPartition)
     val parts = math.max(1, (total / target).toInt + 1)
-    val offsetExpr = offsetMap.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(acc)
-    }
+    // map-literal lookup, not a when-chain: a fold of P when() branches makes
+    // the expression tree O(P) — at 10k input partitions that's a 10k-deep
+    // CaseWhen that blows up analysis and codegen. element_at on a map
+    // literal is a single O(1)-depth expression whatever P is.
+    val offsetExpr = coalesce(
+      try_element_at(typedLit(offsetMap), col("__pid")), lit(0L))
     val w = Window.partitionBy("__pid")
       .orderBy(monotonically_increasing_id())
       .rowsBetween(Window.unboundedPreceding, 0)

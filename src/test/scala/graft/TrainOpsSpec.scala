@@ -84,6 +84,34 @@ class TrainOpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash wide (64-bit production path): planted near-dups at hamming ≤3 recovered") {
+    // xxhash64 basis (production default) — the scale parametrization with
+    // 2^16-value band keys
+    val sig = Dedup.simhashWide(docs, "doc_id", "text")
+    val rows = sig.collect()
+    assert(rows.forall(r => (1 to 4).forall(c =>
+      r.getLong(c) >= 0L && r.getLong(c) <= 0xFFFFL))) // each chunk is 16-bit
+    val pairs = Dedup.simhashWidePairs(sig, "doc_id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((1L, 4L)).contains(0)) // planted exact dup: hamming 0
+    // planted one-word near-dup: a single token flip moves few signature
+    // bits on a 13-token doc — must be recovered within hamming ≤ 3
+    assert(byPair.contains((1L, 2L)) && byPair.contains((2L, 4L)))
+    assert(byPair((1L, 2L)) <= 3)
+    assert(!byPair.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // md5-based (oracle) variant agrees on the planted structure
+    val sigMd5 = Dedup.simhashWide(docs, "doc_id", "text", md5Based = true)
+    val pMd5 = Dedup.simhashWidePairs(sigMd5, "doc_id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pMd5.get((1L, 4L)).contains(0))
+    assert(!pMd5.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // pigeonhole guard: maxHamming must be < 4 bands
+    intercept[IllegalArgumentException] {
+      Dedup.simhashWidePairs(sig, "doc_id", maxHamming = 4)
+    }
+  }
+
   test("ngram jaccard: capped path equals uncapped when no shingle is hot") {
     val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 64)
       .as[(Long, Long, Double)].collect().toSet
@@ -192,5 +220,41 @@ class TrainOpsSpec extends SparkSpec {
       .select("b").as[Long].collect()
     assert(perPart.length >= 3) // ~5 KB total / 1.2 KB budget
     assert(perPart.max <= 1200L + 1200L + 1000L, s"skewed: ${perPart.toSeq}")
+
+    // real decoders on planted real bytes: a handcrafted 7×5 BMP and a
+    // 8kHz mono 16-bit WAV with 100 sample frames, routed by kind through
+    // the same mapPartitions plumbing as the stub
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val bmp: Array[Byte] =
+      "BM".getBytes ++ le32(122) ++ le32(0) ++ le32(54) ++ // file header
+        le32(40) ++ le32(7) ++ le32(-5) ++ le16(1) ++ le16(24) ++ // info: 7 × -5 (top-down)
+        Array.fill[Byte](122 - 30)(0)
+    val wav: Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + 200) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(200) ++ Array.fill[Byte](200)(7)
+    val real = Multimodal.extractFeatures(spark, Seq(
+        Multimodal.MediaRow(10L, "image/bmp", bmp),
+        Multimodal.MediaRow(11L, "audio/wav", wav),
+        Multimodal.MediaRow(12L, "text/utf-8", "hello".getBytes)
+      ).toDS()).collect().map(f => f.id -> f).toMap
+    assert(real(10L).width == 7 && real(10L).height == 5 && real(10L).n_frames == 1)
+    assert(real(11L).width == 8000 && real(11L).height == 1 && real(11L).n_frames == 100)
+    assert(real(12L).digest == graft.ops.Checksums.md5Hex("hello")) // stub path intact
+
+    // 1000+ input partitions: the offset lookup is a map-literal element_at,
+    // not a per-partition when-chain — the plan must stay O(1) deep and the
+    // byte bound must still hold
+    val wide = spark.range(0, 2000, 1, 1200)
+      .select($"id", (lit(5L) + ($"id" % 7)).as("bytes"))
+    val wideParts = Multimodal.repartitionByPayload(wide, "bytes", 500L)
+    assert(wideParts.count() == 2000)
+    val wideBytes = wideParts
+      .groupBy(spark_partition_id().as("p"))
+      .agg(sum($"bytes").as("b"))
+      .select("b").as[Long].collect()
+    assert(wideBytes.max <= 500L + 500L + 11L, s"skewed: ${wideBytes.max}")
   }
 }
