@@ -287,6 +287,55 @@ object Queries {
       |FROM per_nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name
       |ORDER BY entity""".stripMargin
 
+  /** Region roll-up with a per-column aggregation dict AND a NaN budget —
+    * the full `add_region_aggregates` surface (geo.py:275-349:
+    * `aggregations` + `num_allowed_nans_per_year`): cnt is summed, v is
+    * averaged, and a region×segment group whose members carry more than one
+    * NULL v gets v nulled. */
+  def qRegionBudget(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    val members = nation
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("member"))
+    val perNation = t(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("entity"), col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("entity"), col("seg"),
+        col("n").cast("double").as("cnt"),
+        // planted deterministic nulls: every third count is missing
+        when(col("n") % 3 === 0, lit(null))
+          .otherwise(col("n").cast("double")).as("v"))
+    GroupOps
+      .addRegionAggregates(perNation, "entity", Seq("seg"), Seq("cnt", "v"),
+        members,
+        aggregations = Map("cnt" -> "sum", "v" -> "mean"),
+        budget = GroupOps.NanBudget(numAllowedNans = Some(1)))
+      .select(col("entity"), col("seg"), col("cnt").cast("long").as("cnt"),
+        round(col("v"), 6).as("v_mean"))
+      .orderBy("entity", "seg")
+  }
+
+  val qRegionBudgetSql: String =
+    """WITH per_nation AS (
+      |  SELECT n_name AS entity, n_regionkey, c_mktsegment AS seg, COUNT(*) AS n
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, n_regionkey, c_mktsegment),
+      |pn AS (
+      |  SELECT entity, n_regionkey, seg, CAST(n AS DOUBLE) AS cnt,
+      |    CASE WHEN n % 3 = 0 THEN NULL ELSE CAST(n AS DOUBLE) END AS v
+      |  FROM per_nation)
+      |SELECT entity, seg, CAST(cnt AS BIGINT) AS cnt, ROUND(v, 6) AS v_mean
+      |FROM pn
+      |UNION ALL
+      |SELECT r_name AS entity, seg, CAST(SUM(cnt) AS BIGINT) AS cnt,
+      |  CASE WHEN COUNT(*) - COUNT(v) > 1 THEN NULL
+      |       ELSE ROUND(AVG(v), 6) END AS v_mean
+      |FROM pn JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, seg
+      |ORDER BY entity, seg""".stripMargin
+
   // ---------------------------------------------------------------- windows
 
   /** LWW dedup via max_by aggregation — the merge-apply core
@@ -906,6 +955,7 @@ object Queries {
     "q_combine_overlapping" -> ((qCombineOverlapping _, qCombineOverlappingSql)),
     "q_concat" -> ((qConcat _, qConcatSql)),
     "q_region_rollup" -> ((qRegionRollup _, qRegionRollupSql)),
+    "q_region_budget" -> ((qRegionBudget _, qRegionBudgetSql)),
     "q_lww_latest" -> ((qLwwLatest _, qLwwLatestSql)),
     "q_rolling" -> ((qRolling _, qRollingSql)),
     "q_pct_change" -> ((qPctChange _, qPctChangeSql)),

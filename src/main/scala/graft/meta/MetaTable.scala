@@ -78,6 +78,34 @@ final case class MetaTable(df: DataFrame, meta: TableMeta) {
     MetaTable(
       TableOps.concat(Seq(df, other.df)),
       meta.copy(fields = MetaTable.combineFields(fields, other.fields)))
+
+  /** Column arithmetic with AUTOMATIC metadata combination — indicator
+    * arithmetic (indicators.py:278-405 + combine_indicators_metadata
+    * :795-880): `out = a <op> b` where each field keeps the unique non-null
+    * value across operands, except division ("/" and "//"), which never
+    * inherits a field the numerator lacks (indicators.py:570-575 — energy ÷
+    * population must not get population's description). The processing log
+    * records the operation. */
+  def binaryOp(name: String, a: String, b: String, op: String): MetaTable = {
+    val expr: Column = op match {
+      case "+" => df.col(a) + df.col(b)
+      case "-" => df.col(a) - df.col(b)
+      case "*" => df.col(a) * df.col(b)
+      case "/" => df.col(a) / org.apache.spark.sql.functions.nullif(
+        df.col(b), org.apache.spark.sql.functions.lit(0))
+      case "//" => org.apache.spark.sql.functions.floor(
+        df.col(a) / org.apache.spark.sql.functions.nullif(
+          df.col(b), org.apache.spark.sql.functions.lit(0)))
+      case "%" => df.col(a) % df.col(b)
+      case other => throw new IllegalArgumentException(s"binaryOp: $other")
+    }
+    val vm = MetaTable
+      .combineVariableOp(
+        fields.getOrElse(a, VariableMeta()),
+        fields.getOrElse(b, VariableMeta()), op)
+    withColumn(name, expr,
+      vm.copy(processingLog = vm.processingLog :+ s"$name = $a $op $b"))
+  }
 }
 
 object MetaTable {
@@ -96,14 +124,36 @@ object MetaTable {
     (a -- shared) ++ (b -- shared) ++ combined
   }
 
-  def combineVariable(x: VariableMeta, y: VariableMeta): VariableMeta = {
+  def combineVariable(x: VariableMeta, y: VariableMeta): VariableMeta =
+    combineVariableOp(x, y, "+")
+
+  /** Operation-aware field combination
+    * (`_get_metadata_value_from_indicators_if_all_identical`,
+    * indicators.py:564-595): a field keeps the UNIQUE non-null value across
+    * operands (one side None + other set → kept; two different values →
+    * dropped). Division ("/", "//") additionally never inherits a field the
+    * numerator lacks (indicators.py:570-575). */
+  def combineVariableOp(x: VariableMeta, y: VariableMeta, op: String): VariableMeta = {
+    val division = op == "/" || op == "//"
     def keep[T](a: Option[T], b: Option[T]): Option[T] =
-      if (a == b) a else None
+      if (division && a.isEmpty) None
+      else (a, b) match {
+        case (Some(av), Some(bv)) => if (av == bv) a else None
+        case (Some(_), None)      => a
+        case (None, bv)           => bv
+        case _                    => None
+      }
     VariableMeta(
       title = keep(x.title, y.title),
       unit = keep(x.unit, y.unit),
       shortUnit = keep(x.shortUnit, y.shortUnit),
       description = keep(x.description, y.description),
+      display =
+        if (x.display == y.display) x.display
+        else if (division) x.display
+        else if (x.display.isEmpty) y.display
+        else if (y.display.isEmpty) x.display
+        else Map.empty,
       processingLog = (x.processingLog ++ y.processingLog).distinct)
   }
 }

@@ -51,6 +51,7 @@ final case class VariableMeta(
     unit: Option[String] = None,
     shortUnit: Option[String] = None,
     description: Option[String] = None,
+    display: Map[String, String] = Map.empty, // grapher display dict (meta.py:470): zeroDay, timeInterval, …
     processingLog: List[String] = Nil
 )
 

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.meta.{MetaLayering, MetaTable}
+import graft.model.VariableMeta
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,6 +79,135 @@ object Grapher {
       .join(broadcast(codes), Seq("entityId"), "left")
       .withColumn("entityName", coalesce(col("entityName"), col("country")))
       .drop("country")
+  }
+
+  /** Sub-yearly (dated) table → grapher adaptation —
+    * `adapt_table_with_dates_to_grapher` (helpers.py:618-689): dates are
+    * encoded as days-since-zeroDay integers in an int `year` column, and
+    * each value column's display metadata records `zeroDay` (ISO date of the
+    * earliest observation) and `timeInterval` so grapher can decode them.
+    *
+    * zeroDay is ONE slim min() aggregate (a model-sized scalar the metadata
+    * needs driver-side anyway — the same shape as the q_date_funcs
+    * agg+broadcast, never a global window over the data). */
+  def adaptTableWithDatesForGrapher(
+      mt: MetaTable,
+      dateColumn: String = "date",
+      countryColumn: String = "country",
+      timeInterval: String = "day",
+      dropDateColumn: Boolean = true
+  ): MetaTable = {
+    require(mt.df.columns.contains(dateColumn), s"missing column $dateColumn")
+    val df0 =
+      if (mt.df.columns.contains("year")) mt.df.drop("year") else mt.df
+    val zeroRow = df0.agg(min(to_date(col(dateColumn))).as("z")).collect()(0)
+    require(!zeroRow.isNullAt(0), s"no non-null $dateColumn values")
+    val zeroDay = zeroRow.getDate(0).toString // ISO yyyy-MM-dd
+    val withYear = df0.withColumn("year",
+      datediff(to_date(col(dateColumn)), lit(zeroDay).cast("date")).cast("int"))
+    val out = if (dropDateColumn) withYear.drop(dateColumn) else withYear
+    val valueCols = df0.columns.filterNot(c => c == dateColumn || c == countryColumn)
+    val fields = valueCols.foldLeft(mt.meta.fields) { (fs, c) =>
+      val vm = fs.getOrElse(c, VariableMeta())
+      fs + (c -> vm.copy(display = vm.display ++
+        Map("timeInterval" -> timeInterval, "zeroDay" -> zeroDay)))
+    }
+    MetaTable(out, mt.meta.copy(fields = fields))
+  }
+
+  /** Metadata-aware grapher adaptation (`_adapt_table_for_grapher`,
+    * helpers.py:425-475): asserts variable titles are unique, auto-adapts a
+    * `date` column through [[adaptTableWithDatesForGrapher]], then resolves
+    * entities like the DataFrame overload. */
+  def adaptTableForGrapher(mt: MetaTable, entities: DataFrame): MetaTable = {
+    val titles = mt.meta.fields.values.flatMap(_.title).toSeq
+    val dups = titles.groupBy(identity).collect { case (t, vs) if vs.size > 1 => t }
+    require(dups.isEmpty, s"Variable titles are not unique: ${dups.toSeq.sorted}")
+    val dated =
+      if (!mt.df.columns.contains("date")) mt
+      else {
+        require(!mt.df.columns.contains("year"),
+          "Table cannot have both `date` and `year` columns.")
+        adaptTableWithDatesForGrapher(mt)
+      }
+    MetaTable(adaptTableForGrapher(dated.df, entities), dated.meta)
+  }
+
+  /** Per-variable fan-out WITH per-dimension-combo rendered metadata — the
+    * composition of `_yield_wide_table` (helpers.py:31-123) and
+    * `VariableMeta.render` (`_metadata_for_dimensions`, helpers.py:126-156):
+    * for every (value column × dimension combo) emit
+    * (short_name, long table, rendered VariableMeta) where
+    *  - short_name = underscore(column__dim1_value1__…)
+    *    (`_underscore_column_and_dimensions`, helpers.py:234);
+    *  - a non-Jinja title gets the "Title - Dim: value" default
+    *    (`_title_column_and_dimensions`, helpers.py:225-231), a Jinja title
+    *    is rendered with the combo's dim dict;
+    *  - short names and rendered titles must be UNIQUE across emitted
+    *    variables (helpers.py:189-195, 441-446).
+    *
+    * Dim combos are enumerated driver-side from a distinct() — bounded by
+    * dimension cardinality (sex × age …), never by row count, exactly like
+    * the reference's groupby. All-null variables are skipped
+    * (helpers.py:91-95). */
+  def yieldWideTablesWithMeta(
+      mt: MetaTable,
+      entityCols: Seq[String],
+      dimCols: Seq[String],
+      valueCols: Seq[String]
+  ): Seq[(String, DataFrame, VariableMeta)] = {
+    val df = mt.df
+    val combos: Seq[Map[String, String]] =
+      if (dimCols.isEmpty) Seq(Map.empty)
+      else df.select(dimCols.map(col): _*).distinct().collect().toSeq
+        .map(r => dimCols.zipWithIndex.flatMap { case (d, i) =>
+          if (r.isNullAt(i)) None else Some(d -> r.get(i).toString)
+        }.toMap)
+        .sortBy(m => dimCols.map(m.getOrElse(_, "")).mkString(" "))
+    val isJinja = (s: String) => s.contains("{{") || s.contains("{%")
+    val out = for {
+      dims <- combos
+      c <- valueCols
+      subset = dimCols.foldLeft(df) { (d, dc) =>
+        dims.get(dc) match {
+          case Some(v) => d.filter(col(dc).cast("string") === v)
+          case None    => d.filter(col(dc).isNull)
+        }
+      }
+      if !subset.select(c).where(col(c).isNotNull).isEmpty // skip all-null variables
+    } yield {
+      val orderedDims = dimCols.flatMap(d => dims.get(d).map(d -> _))
+      val shortName = (Names.underscore(c) +: orderedDims.map { case (d, v) =>
+        Names.underscore(s"${d}_$v")
+      }).mkString("__") // parts underscored separately — the __ separator survives
+      val long = subset
+        .select((entityCols.map(col) :+ col(c).as(shortName)): _*)
+        .where(col(shortName).isNotNull)
+      val vm0 = mt.meta.fields.getOrElse(c, VariableMeta())
+      val titled = vm0.title match {
+        case Some(t) if !isJinja(t) && orderedDims.nonEmpty =>
+          val parts = orderedDims.map { case (d, v) =>
+            s"${d.replace('_', ' ').capitalize}: $v"
+          }
+          vm0.copy(title = Some((t +: parts).mkString(" - ")))
+        case _ => vm0
+      }
+      def r(o: Option[String]) = o.map(MetaLayering.render(_, dims))
+      val rendered = titled.copy(
+        title = r(titled.title), unit = r(titled.unit),
+        shortUnit = r(titled.shortUnit), description = r(titled.description),
+        display = titled.display.map { case (k, v) =>
+          k -> MetaLayering.render(v, dims)
+        })
+      (shortName, long, rendered)
+    }
+    def assertUnique(what: String, vs: Seq[String]): Unit = {
+      val dups = vs.groupBy(identity).collect { case (v, g) if g.size > 1 => v }
+      require(dups.isEmpty, s"Duplicate variable $what: ${dups.toSeq.sorted}")
+    }
+    assertUnique("short names", out.map(_._1))
+    assertUnique("titles", out.flatMap(_._3.title))
+    out
   }
 
   /** The reference's `long_to_wide_tables` (helpers.py:270-300) re-expressed

@@ -54,24 +54,27 @@ object GroupOps {
     * of column→function (dataframes.py:310-482 `aggregations` argument).
     * Still one shuffle: every aggregate and its NaN-budget checks live in the
     * same `agg(...)` pass with map-side partial aggregation. */
+  /** Named aggregate function → aggregate Column (the reference's string
+    * aggregation dialect, dataframes.py:310-482 / geo.py `aggregations`). */
+  private[graft] def baseAgg(c: String, fn: String): Column = fn match {
+    case "sum"            => sum(col(c))
+    case "mean"           => avg(col(c))
+    case "min"            => min(col(c))
+    case "max"            => max(col(c))
+    case "median"         => median(col(c))
+    case "first"          => first(col(c), ignoreNulls = true)
+    case "last"           => last(col(c), ignoreNulls = true)
+    case "count"          => count(col(c))
+    case "count_distinct" => count_distinct(col(c))
+    case other            => throw new IllegalArgumentException(s"agg: $other")
+  }
+
   def groupbyAggMap(
       df: DataFrame,
       keys: Seq[String],
       aggregations: Map[String, String],
       budget: NanBudget = NanBudget()
   ): DataFrame = {
-    def baseAgg(c: String, fn: String): Column = fn match {
-      case "sum"            => sum(col(c))
-      case "mean"           => avg(col(c))
-      case "min"            => min(col(c))
-      case "max"            => max(col(c))
-      case "median"         => median(col(c))
-      case "first"          => first(col(c), ignoreNulls = true)
-      case "last"           => last(col(c), ignoreNulls = true)
-      case "count"          => count(col(c))
-      case "count_distinct" => count_distinct(col(c))
-      case other            => throw new IllegalArgumentException(s"agg: $other")
-    }
     // preserve input column order for the output schema
     val ordered = df.columns.filter(aggregations.contains).toSeq
     val aggs = ordered.map { c =>
@@ -126,6 +129,14 @@ object GroupOps {
     * pattern at geo.py:491-520, i.e. a keyed upsert).
     *
     * `members` is expected to be small (country lists) — broadcast join.
+    *
+    * `aggregations` is the per-column aggregation dict (geo.py:280/349
+    * `aggregations` — any column absent from the map defaults to "sum",
+    * matching geo.py:421-423) and `budget` the per-group NaN budget
+    * (geo.py:275-277 `num_allowed_nans_per_year` /
+    * `frac_allowed_nans_per_year` / `min_num_values_per_year`). Both are
+    * evaluated in the SAME aggregation pass as the must-have presence
+    * flags — still one shuffle, map-side partial aggregation intact.
     */
   def addRegionAggregates(
       df: DataFrame,
@@ -133,7 +144,9 @@ object GroupOps {
       groupKeys: Seq[String],
       valueCols: Seq[String],
       members: DataFrame, // (region, member)
-      mustHave: Map[String, Seq[String]] = Map.empty
+      mustHave: Map[String, Seq[String]] = Map.empty,
+      aggregations: Map[String, String] = Map.empty,
+      budget: NanBudget = NanBudget()
   ): DataFrame = {
     val joined = df.join(
       broadcast(members),
@@ -156,8 +169,11 @@ object GroupOps {
       }
     }
     val aggCols = valueCols.map { c =>
-      if (mustHave.isEmpty) sum(col(c)).as(c)
-      else when(presenceFor(c) === 1, sum(col(c))).otherwise(lit(null)).as(c)
+      val value = baseAgg(c, aggregations.getOrElse(c, "sum"))
+      val presenceOk =
+        if (mustHave.isEmpty) lit(true) else presenceFor(c) === 1
+      when(presenceOk && !budget.violated(c), value)
+        .otherwise(lit(null)).as(c)
     }
     // group by the raw `region` column (presence expressions reference it as
     // a grouping column) and re-key to entityCol afterwards

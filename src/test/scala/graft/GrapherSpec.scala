@@ -48,6 +48,71 @@ class GrapherSpec extends SparkSpec {
       id > 3L && code.isEmpty && name == "Newland" })
   }
 
+  test("dated table → days-since-zeroDay year + display metadata (helpers.py:618-689)") {
+    import graft.meta.MetaTable
+    import graft.model.{TableMeta, VariableMeta}
+    val mt = MetaTable(
+      Seq(
+        ("France", "2023-01-15", 1.0), ("France", "2023-01-10", 2.0),
+        ("United States", "2023-02-10", 3.0)
+      ).toDF("country", "date", "cases"),
+      TableMeta("t", fields = Map("cases" ->
+        VariableMeta(title = Some("Cases"), unit = Some("cases")))))
+    val out = Grapher.adaptTableWithDatesForGrapher(mt, timeInterval = "week")
+    assert(!out.df.columns.contains("date") && out.df.columns.contains("year"))
+    val byCountry = out.df.select("country", "year")
+      .as[(String, Int)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(byCountry("France") == Seq(0, 5))          // zeroDay = 2023-01-10
+    assert(byCountry("United States") == Seq(31))
+    val d = out.meta.fields("cases").display
+    assert(d("zeroDay") == "2023-01-10" && d("timeInterval") == "week")
+    assert(out.meta.fields("cases").unit.contains("cases")) // other meta intact
+
+    // composed path: MetaTable adapt auto-routes `date`, keeps metadata,
+    // resolves entities; duplicate titles raise
+    val adapted = Grapher.adaptTableForGrapher(mt, entities)
+    assert(adapted.df.columns.contains("entityId") && adapted.df.columns.contains("year"))
+    assert(adapted.meta.fields("cases").display("zeroDay") == "2023-01-10")
+    val dupTitles = mt.copy(meta = mt.meta.copy(fields = Map(
+      "a" -> VariableMeta(title = Some("T")), "b" -> VariableMeta(title = Some("T")))))
+    intercept[IllegalArgumentException] {
+      Grapher.adaptTableForGrapher(dupTitles, entities)
+    }
+  }
+
+  test("per-combo fan-out renders metadata and enforces unique names/titles") {
+    import graft.meta.MetaTable
+    import graft.model.{TableMeta, VariableMeta}
+    val mt = MetaTable(
+      Seq(
+        (1L, 2020, "male", Some(10.0)), (1L, 2020, "female", Some(11.0)),
+        (2L, 2020, "male", None), (2L, 2020, "female", Some(12.0))
+      ).toDF("entityId", "year", "sex", "deaths"),
+      TableMeta("t", fields = Map("deaths" -> VariableMeta(
+        title = Some("Deaths"),
+        unit = Some("deaths"),
+        description = Some(
+          "Deaths among {% if sex == 'male' %}men{% else %}women{% endif %}")))))
+    val out = Grapher.yieldWideTablesWithMeta(
+      mt, Seq("entityId", "year"), Seq("sex"), Seq("deaths"))
+    assert(out.map(_._1) == Seq("deaths__sex_female", "deaths__sex_male"))
+    val byName = out.map(t => t._1 -> t).toMap
+    // non-Jinja title gets the "Title - Dim: value" default, then renders
+    assert(byName("deaths__sex_male")._3.title.contains("Deaths - Sex: male"))
+    assert(byName("deaths__sex_male")._3.description.contains("Deaths among men"))
+    assert(byName("deaths__sex_female")._3.description.contains("Deaths among women"))
+    // null rows dropped from the emitted long table
+    assert(byName("deaths__sex_male")._2.count() == 1)
+    assert(byName("deaths__sex_female")._2.columns.toSeq ==
+      Seq("entityId", "year", "deaths__sex_female"))
+    // duplicate rendered titles raise: a Jinja title that ignores the dim
+    val dup = mt.copy(meta = mt.meta.copy(fields = Map("deaths" ->
+      VariableMeta(title = Some("{{ ignored }}Same")))))
+    intercept[IllegalArgumentException] {
+      Grapher.yieldWideTablesWithMeta(dup, Seq("entityId", "year"), Seq("sex"), Seq("deaths"))
+    }
+  }
+
   test("long fan-out: partitionBy write + per-variable wide read-back") {
     val long = Seq(
       ("usa", 2020, "gdp", 100.0), ("usa", 2020, "pop", 5.0),

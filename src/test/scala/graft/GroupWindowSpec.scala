@@ -70,6 +70,53 @@ class GroupWindowSpec extends SparkSpec {
     assert(out("usa").contains(10.0))
   }
 
+  test("region aggregates: NaN budget per year (geo.py num_allowed_nans_per_year)") {
+    // mirrors test_geo.py:1390-1446 (add_regions_to_table nan-budget cases):
+    // Europe = {France, Italy, Spain}; Spain 2021 a is null; countries with
+    // NO row for a year do not count as nans
+    val df = Seq[(String, Int, Option[Double], Option[Double])](
+      ("France", 2020, Some(1.0), Some(7.0)), ("France", 2021, Some(2.0), Some(8.0)),
+      ("Italy", 2021, Some(3.0), Some(9.0)), ("Italy", 2022, Some(4.0), Some(10.0)),
+      ("Spain", 2021, None, Some(11.0)), ("Spain", 2022, Some(6.0), Some(12.0))
+    ).toDF("country", "year", "a", "b")
+    val members = Seq(("Europe", "France"), ("Europe", "Italy"), ("Europe", "Spain"))
+      .toDF("region", "member")
+    def run(allowed: Long) = GroupOps
+      .addRegionAggregates(df, "country", Seq("year"), Seq("a", "b"), members,
+        budget = GroupOps.NanBudget(numAllowedNans = Some(allowed)))
+      .filter($"country" === "Europe")
+      .as[(String, Int, Option[Double], Option[Double])].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    val zero = run(0)
+    assert(zero(2020) == ((Some(1.0), Some(7.0)))) // absent countries ≠ nans
+    assert(zero(2021) == ((None, Some(28.0))))     // Spain's null a trips budget 0
+    assert(zero(2022) == ((Some(10.0), Some(22.0))))
+    val one = run(1)
+    assert(one(2021) == ((Some(5.0), Some(28.0)))) // 1 nan now allowed
+  }
+
+  test("region aggregates: per-column aggregation dict (geo.py aggregations)") {
+    // mirrors test_geo.py:692-720 replace_region_with_custom_aggregations:
+    // var_01 summed, var_02 averaged, must-have member missing → both nulled
+    val df = Seq[(String, Int, Option[Double], Option[Double])](
+      ("Country 1", 2020, Some(1.0), Some(10.0)), ("Country 1", 2021, Some(2.0), Some(20.0)),
+      ("Country 2", 2020, Some(3.0), Some(30.0))
+    ).toDF("country", "year", "var_01", "var_02")
+    val members = Seq(("Region 1", "Country 1"), ("Region 1", "Country 2"))
+      .toDF("region", "member")
+    val out = GroupOps
+      .addRegionAggregates(df, "country", Seq("year"), Seq("var_01", "var_02"),
+        members,
+        mustHave = Map("Region 1" -> Seq("Country 1", "Country 2")),
+        aggregations = Map("var_01" -> "sum", "var_02" -> "mean"),
+        budget = GroupOps.NanBudget(numAllowedNans = Some(0)))
+      .filter($"country" === "Region 1")
+      .as[(String, Int, Option[Double], Option[Double])].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(out(2020) == ((Some(1.0 + 3.0), Some((10.0 + 30.0) / 2))))
+    assert(out(2021) == ((None, None))) // Country 2 has no 2021 row → must-have fails
+  }
+
   test("per capita divides by joined population") {
     val pop = Seq(("usa", 2020, 4.0)).toDF("country", "year", "population")
     val df = Seq(("usa", 2020, 100.0)).toDF("country", "year", "gdp")

@@ -74,6 +74,32 @@ class MetaTableSpec extends SparkSpec {
     assert(d.df.select("gdp_2x").as[Double].collect().sorted.toSeq == Seq(100.0, 200.0))
   }
 
+  test("arithmetic combines metadata automatically (indicators.py:278-405)") {
+    val mt = MetaTable(
+      Seq(("usa", 10.0, 2.0), ("fra", 20.0, 4.0)).toDF("country", "energy", "pop"),
+      TableMeta("t", fields = Map(
+        "energy" -> VariableMeta(title = Some("Energy"), unit = Some("TWh")),
+        "pop" -> VariableMeta(title = Some("Population"), unit = Some("people"),
+          description = Some("people counted")))))
+    // + keeps the unique non-null value per field; conflicting titles drop
+    val sum = mt.binaryOp("both", "energy", "pop", "+")
+    assert(sum.meta.fields("both").title.isEmpty)    // Energy vs Population
+    assert(sum.meta.fields("both").unit.isEmpty)     // TWh vs people
+    assert(sum.meta.fields("both").description.contains("people counted")) // unique non-null kept
+    assert(sum.df.select("both").as[Double].collect().sorted.toSeq == Seq(12.0, 24.0))
+    // division never inherits a field the numerator lacks (indicators.py:570)
+    val ratio = mt.binaryOp("per_capita", "energy", "pop", "/")
+    assert(ratio.meta.fields("per_capita").description.isEmpty)
+    assert(ratio.meta.fields("per_capita").processingLog.exists(_.contains("/")))
+    assert(ratio.df.select("per_capita").as[Double].collect().sorted.toSeq == Seq(5.0, 5.0))
+    // agreeing unit survives multiplication
+    val mt2 = MetaTable(
+      Seq((1.0, 2.0)).toDF("a", "b"),
+      TableMeta("t2", fields = Map(
+        "a" -> VariableMeta(unit = Some("m")), "b" -> VariableMeta(unit = Some("m")))))
+    assert(mt2.binaryOp("ab", "a", "b", "*").meta.fields("ab").unit.contains("m"))
+  }
+
   test("combineVariable is commutative and keeps agreement only") {
     val a = VariableMeta(title = Some("x"), unit = Some("u"))
     val b = VariableMeta(title = Some("x"), unit = Some("v"))
