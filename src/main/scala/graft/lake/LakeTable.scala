@@ -408,8 +408,7 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
           case s if s.startsWith("_bucket=") => s.stripPrefix("_bucket=").toInt
           case _                             => -1
         }
-        val rel = p.toString.stripPrefix(root.toString).stripPrefix("/")
-        DataFile(rel, bucket, footerRowCount(p), schemaVersion, kind)
+        DataFile(relativize(p), bucket, footerRowCount(p), schemaVersion, kind)
       }
     }
     Await.result(Future.sequence(files), 120.seconds)
@@ -439,8 +438,7 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
     while (it.hasNext) {
       val p = it.next().getPath
       if (p.getName.endsWith(".parquet")) {
-        val rel = p.toString.stripPrefix(root.toString).stripPrefix("/")
-        if (!live.contains(rel)) toDelete += p
+        if (!live.contains(relativize(p))) toDelete += p
       }
     }
     toDelete.foreach { p => if (fs.delete(p, false)) deleted += 1 }
@@ -463,6 +461,13 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
   }
 
   def absolute(rel: String): String = new Path(root, rel).toString
+
+  /** Table-relative path for a listed file: scheme-free (FileSystem listings
+    * return `file:`-prefixed URIs; a plain string stripPrefix against the
+    * scheme-free root would silently keep the whole URI, making manifests
+    * absolute and the table non-relocatable). */
+  private def relativize(p: Path): String =
+    p.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
 
   // -------------------------------------------------------------- json codec
 

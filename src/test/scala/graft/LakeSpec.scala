@@ -137,6 +137,78 @@ class LakeSpec extends SparkSpec {
     assert(table.read(spark).count() == 7)
   }
 
+  test("endurance: 600 commits — flat commit latency, flat metadata size, vacuum-bounded files") {
+    import graft.lake.{DataFile, Snapshot}
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("lake-endurance") + "/pages"
+    val table = cdc.Engine.createPagesTable(dir, 2, retainSnapshots = 10)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    def touch(rel: String): Unit = {
+      val out = fs.create(new Path(dir, rel), true); out.write(1); out.close()
+    }
+    // metadata-layer endurance: 600 snapshot commits with the real commit
+    // path (manifest write, retention truncation, hint swap), MergeApply's
+    // carry-forward file-list shape, a compaction every 10 batches, vacuum
+    // every 50. Guards the O(batches) regressions: commit latency growing
+    // with total batches, metadata file growing unboundedly, or dead files
+    // accumulating on disk.
+    val n = 600
+    var carried = Seq.empty[DataFile]
+    val latNanos = new Array[Long](n)
+    var sizeAt100 = 0L
+    for (i <- 0 until n) {
+      val rel = s"data/snap-$i/_bucket=${i % 2}/part-0.parquet"
+      touch(rel)
+      val fresh = DataFile(rel, i % 2, 1L, 1)
+      carried = if (i % 10 == 9) Seq(fresh) else carried :+ fresh // 10th commit ≈ compaction
+      val m = table.metadata
+      val snap = Snapshot(i.toLong, m.currentSnapshotId, "endurance", i.toLong,
+        i.toLong, i.toLong, 1, 0, 0, m.currentSchemaVersion, carried)
+      val t0 = System.nanoTime()
+      table.commit(m.copy(
+        version = m.version + 1,
+        currentSnapshotId = Some(i.toLong),
+        snapshots = m.snapshots :+ snap,
+        lastBatch = m.lastBatch + ("endurance" -> i.toLong)))
+      latNanos(i) = System.nanoTime() - t0
+      if (i % 50 == 49) table.vacuum()
+      if (i == 99) sizeAt100 = fs.getFileStatus(new Path(
+        dir, s"metadata/v${table.metadata.version}.metadata.json")).getLen
+    }
+    // latency flat: median of commits 50-149 vs 500-599 (medians defeat the
+    // host's contention spikes; an O(total-batches) commit would be ~6-10×)
+    def median(a: Seq[Long]): Long = a.sorted.apply(a.size / 2)
+    val early = median(latNanos.slice(50, 150).toSeq)
+    val late = median(latNanos.slice(500, 600).toSeq)
+    assert(late <= early * 3,
+      f"commit latency grew: ${early / 1e6}%.2f ms -> ${late / 1e6}%.2f ms")
+    info(f"commit latency median: batches 50-150 ${early / 1e6}%.2f ms, 500-600 ${late / 1e6}%.2f ms")
+    // metadata file size flat after the retention window fills
+    val mEnd = table.metadata
+    assert(mEnd.snapshots.size == 10)
+    val sizeAtEnd = fs.getFileStatus(new Path(
+      dir, s"metadata/v${mEnd.version}.metadata.json")).getLen
+    assert(sizeAtEnd <= (sizeAt100 * 1.25).toLong,
+      s"metadata grew: $sizeAt100 -> $sizeAtEnd")
+    // vacuum keeps the on-disk data-file count bounded by the live set of
+    // the retained window (≤ ~20 here), not by total batches (600)
+    table.vacuum()
+    val it = fs.listFiles(new Path(dir, "data"), true)
+    var nParquet = 0
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) nParquet += 1 }
+    val liveCount = mEnd.snapshots.flatMap(table.filesOf).map(_.path).distinct.size
+    assert(nParquet >= liveCount, // vacuum must NOT delete live files
+      s"vacuum deleted live files: $nParquet on disk < $liveCount referenced")
+    assert(nParquet <= 40, s"dead files accumulate: $nParquet on disk after vacuum")
+    info(s"on-disk data files after 600 commits + vacuum: $nParquet")
+    // the ledger and time travel survive 600 truncating commits
+    assert(mEnd.isCommitted("endurance", 599L))
+    assert(!mEnd.isCommitted("endurance", 600L))
+    val oldest = mEnd.snapshots.head
+    assert(table.filesOf(oldest).nonEmpty)
+  }
+
   test("missing version hint recovers from the highest metadata file") {
     val dir = tmpDir("lake-hint") + "/pages"
     val table = cdc.Engine.createPagesTable(dir, 2)
