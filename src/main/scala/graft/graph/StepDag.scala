@@ -108,25 +108,11 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8) {
     Checksums.md5Hex(parts.mkString("|"))
   }
 
-  private def storedChecksum(id: String): Option[String] = {
-    val t = table(id)
-    if (!t.exists) None
-    else t.metadata.currentSnapshot.flatMap(_.inputSnapshots.get("__input_checksum__"))
-      .map(_.toString)
-      .orElse(None)
-  }
-
-  // input checksums are persisted in the snapshot lineage map under a
-  // reserved key, numeric-encoded (the map is String -> Long)
-  private def checksumKey(c: String): Long =
-    java.lang.Long.parseUnsignedLong(c.take(15), 16)
-
   def isDirty(id: String): Boolean = {
     val t = table(id)
     if (!t.exists || t.metadata.currentSnapshotId.isEmpty) return true
-    val stored = t.metadata.currentSnapshot
-      .flatMap(_.inputSnapshots.get("__input_checksum__"))
-    !stored.contains(checksumKey(inputChecksum(id)))
+    val stored = t.metadata.currentSnapshot.flatMap(_.inputChecksum)
+    !stored.contains(inputChecksum(id))
   }
 
   /** Execute (dirty steps only unless force), in topo order. Each step's
@@ -183,7 +169,10 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8) {
       rowsInserted = 0, rowsUpdated = 0, rowsDeleted = 0,
       schemaVersion = meta.currentSchemaVersion,
       files = files,
-      inputSnapshots = Map("__input_checksum__" -> checksumKey(inputChecksum(id))))
+      inputSnapshots = byId(id).deps.map(d =>
+        d -> (if (table(d).exists)
+          table(d).metadata.currentSnapshotId.getOrElse(-1L) else -1L)).toMap,
+      inputChecksum = Some(inputChecksum(id)))
     t.commit(meta.copy(version = meta.version + 1,
       currentSnapshotId = Some(snapId), snapshots = meta.snapshots :+ snap))
   }

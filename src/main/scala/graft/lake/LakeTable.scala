@@ -74,7 +74,11 @@ final case class Snapshot(
     schemaVersion: Int,
     files: Seq[DataFile],
     inputSnapshots: Map[String, Long] = Map.empty, // upstream table → snapshotId (lineage)
-    manifestPath: Option[String] = None
+    manifestPath: Option[String] = None,
+    // DAG input-state checksum (the reference's source_checksum,
+    // steps/__init__.py:501-504) — a first-class string field, not a
+    // truncated numeric shoehorned into inputSnapshots
+    inputChecksum: Option[String] = None
 )
 
 /** `lwwColumn`/`tombstoneColumn`: when set, the table is a primary-key LWW
@@ -562,6 +566,7 @@ object LakeTable {
       }
       val inN = o.putObject("inputSnapshots")
       s.inputSnapshots.foreach { case (k, v) => inN.put(k, v) }
+      s.inputChecksum.foreach(o.put("inputChecksum", _))
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootN)
   }
@@ -591,7 +596,8 @@ object LakeTable {
         Option(s.get("inputSnapshots")).map { in =>
           in.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
         }.getOrElse(Map.empty),
-        manifestPath = Option(s.get("manifest")).map(_.asText())
+        manifestPath = Option(s.get("manifest")).map(_.asText()),
+        inputChecksum = Option(s.get("inputChecksum")).map(_.asText())
       )
     }
     TableMetadata(

@@ -50,11 +50,16 @@ object Grapher {
         dim0.unionByName(fresh.toSeq.toDF("__eid", "__ekey"))
       }
     val joined = df.join(broadcast(dim), df(countryCol) === dim("__ekey"), "left")
-    val unmatched = joined.filter(col("__eid").isNull)
-      .select(countryCol).distinct().limit(20).collect().map(_.getString(0))
-    require(unmatched.isEmpty,
-      s"Some countries have not been mapped: ${unmatched.toSeq.sorted}")
-    joined.withColumnRenamed("__eid", "entityId").drop("__ekey")
+    // unmatched-country assert evaluated IN the projection (raise_error on
+    // the first null id), not as an eager collect at plan-build time — the
+    // reference's "Some countries have not been mapped" assert without an
+    // extra full pass over df before the real action
+    joined
+      .withColumn("entityId",
+        when(col("__eid").isNull, raise_error(concat(
+          lit("Some countries have not been mapped: "), col(countryCol))))
+          .otherwise(col("__eid")))
+      .drop("__eid", "__ekey")
   }
 
   /** Garden → grapher table adaptation — `_adapt_table_for_grapher`

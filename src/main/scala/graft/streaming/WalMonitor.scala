@@ -28,6 +28,12 @@ object WalMonitor {
       lsns: Iterator[Long],
       state: GroupState[ShardState]
   ): Iterator[GapReport] = {
+    // Heap bound: one shard's LSNs for ONE micro-batch are materialized and
+    // sorted on one task (contiguity needs total order). The working set is
+    // 8 bytes × events-per-shard-per-batch — at 1M events/batch over ≥32
+    // shards that is ≤ ~256 KB/task; size micro-batches (maxFilesPerTrigger)
+    // so the hottest shard's slice stays executor-heap-friendly. State
+    // carried across batches stays one long per shard.
     val sorted = lsns.toArray.sorted
     if (sorted.isEmpty) return Iterator.empty
     val prior = state.getOption.map(_.highest).getOrElse(Long.MinValue)

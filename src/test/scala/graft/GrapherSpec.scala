@@ -20,9 +20,12 @@ class GrapherSpec extends SparkSpec {
     val m = out.select("country", "entityId").as[(String, Long)].collect().toMap
     assert(m == Map("United States" -> 1L, "France" -> 2L))
     val bad = Seq(("Atlantis", 2020, 1.0)).toDF("country", "year", "v")
-    intercept[IllegalArgumentException] {
-      Grapher.countryToEntityId(bad, entities)
+    // the unmapped-country assert fires lazily at action time (raise_error
+    // in the projection — no eager plan-build job)
+    val e = intercept[Exception] {
+      Grapher.countryToEntityId(bad, entities).collect()
     }
+    assert(e.getMessage.contains("have not been mapped"))
   }
 
   test("createEntities assigns deterministic new ids above max") {
