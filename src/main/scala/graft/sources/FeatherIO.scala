@@ -1,0 +1,204 @@
+package graft.sources
+
+import org.apache.arrow.compression.CommonsCompressionFactory
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.ArrowFileReader
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.ArrowType
+import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Feather v2 reader — the reference's `read_feather`
+  * (/root/reference/lib/catalog/owid/catalog/core/tables.py:712, 2431).
+  *
+  * Feather v2 IS the Arrow IPC file format, and Spark's runtime bundles
+  * arrow-vector/arrow-compression — so the format decodes with ZERO new
+  * dependencies even though Spark ships no feather DataSource. Shape:
+  * the schema is read driver-side from one file's footer (a footer-only
+  * IO), then files decode on executors via the binaryFile source + a
+  * per-partition Arrow reader. The parallel unit is the FILE — a feather
+  * snapshot is a single modest ingest unit in the reference (one
+  * `pd.read_feather` per snapshot), so per-file decode matches the real
+  * access pattern; a 100 TB corpus lives in the lake as parquet, never
+  * feather.
+  *
+  * Type coverage: int8/16/32/64, float32/64, utf8, bool, binary, date32,
+  * timestamp(s/ms/us/ns) — the dtypes owid-repack emits. Anything else
+  * fails loudly with the field name.
+  */
+object FeatherIO {
+
+  private def sparkType(t: ArrowType, field: String): DataType = t match {
+    case i: ArrowType.Int if i.getIsSigned => i.getBitWidth match {
+      case 8  => ByteType
+      case 16 => ShortType
+      case 32 => IntegerType
+      case 64 => LongType
+      case w  => throw new IllegalArgumentException(s"feather: int$w in $field")
+    }
+    case f: ArrowType.FloatingPoint => f.getPrecision match {
+      case FloatingPointPrecision.SINGLE => FloatType
+      case FloatingPointPrecision.DOUBLE => DoubleType
+      case p => throw new IllegalArgumentException(s"feather: float($p) in $field")
+    }
+    case _: ArrowType.Utf8      => StringType
+    case _: ArrowType.LargeUtf8 => StringType
+    case _: ArrowType.Bool      => BooleanType
+    case _: ArrowType.Binary    => BinaryType
+    case _: ArrowType.Date      => DateType
+    case _: ArrowType.Timestamp => TimestampType
+    case other =>
+      throw new IllegalArgumentException(s"feather: unsupported type $other in $field")
+  }
+
+  /** Decode one feather file's bytes into Spark-external Row values. */
+  private def decode(bytes: Array[Byte], schema: StructType): Iterator[Row] = {
+    val allocator = new RootAllocator()
+    val reader = new ArrowFileReader(
+      new ByteArrayReadableSeekableByteChannel(bytes), allocator,
+      CommonsCompressionFactory.INSTANCE)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (reader.loadNextBatch()) {
+        val vectors = schema.fields.map(f => root.getVector(f.name))
+        var i = 0
+        while (i < root.getRowCount) {
+          out += Row.fromSeq(vectors.toSeq.map(v => value(v, i)))
+          i += 1
+        }
+      }
+      out.iterator
+    } finally { reader.close(); allocator.close() }
+  }
+
+  private def value(v: FieldVector, i: Int): Any = {
+    if (v.isNull(i)) return null
+    v match {
+      case x: TinyIntVector       => x.get(i)
+      case x: SmallIntVector      => x.get(i)
+      case x: IntVector           => x.get(i)
+      case x: BigIntVector        => x.get(i)
+      case x: Float4Vector        => x.get(i)
+      case x: Float8Vector        => x.get(i)
+      case x: VarCharVector       => new String(x.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case x: LargeVarCharVector  => new String(x.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case x: BitVector           => x.get(i) == 1
+      case x: VarBinaryVector     => x.get(i)
+      case x: DateDayVector       =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(i).toLong))
+      case x: TimeStampVector =>
+        val micros = x match {
+          case _: TimeStampSecVector | _: TimeStampSecTZVector     => x.get(i) * 1000000L
+          case _: TimeStampMilliVector | _: TimeStampMilliTZVector => x.get(i) * 1000L
+          case _: TimeStampMicroVector | _: TimeStampMicroTZVector => x.get(i)
+          case _                                                   => x.get(i) / 1000L // nanos
+        }
+        val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case other =>
+        throw new IllegalArgumentException(s"feather: unsupported vector ${other.getClass}")
+    }
+  }
+
+  /** Schema from one file's Arrow footer (driver-side, bytes already local
+    * to keep the IO one read — feather ingest units are single files). */
+  def sparkSchema(bytes: Array[Byte]): StructType = {
+    val allocator = new RootAllocator()
+    val reader = new ArrowFileReader(
+      new ByteArrayReadableSeekableByteChannel(bytes), allocator,
+      CommonsCompressionFactory.INSTANCE)
+    try {
+      val fields = reader.getVectorSchemaRoot.getSchema.getFields
+      StructType(
+        (0 until fields.size()).map { i =>
+          val f = fields.get(i)
+          StructField(f.getName, sparkType(f.getType, f.getName), nullable = true)
+        })
+    } finally { reader.close(); allocator.close() }
+  }
+
+  /** Write a DataFrame as ONE feather v2 (Arrow IPC) file — `to_feather`
+    * (tables.py:449). Driver-side single-file write, matching the
+    * reference's access pattern (a feather table is a snapshot/export
+    * ingest unit, not lake storage); `maxRows` guards against misuse on
+    * big frames — the lake path is parquet. */
+  def write(df: DataFrame, path: String, maxRows: Int = 5000000): Unit = {
+    import org.apache.arrow.vector.types.pojo.{Field, FieldType, Schema => ASchema}
+    import scala.jdk.CollectionConverters._
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"to_feather is for ingest-unit tables (> $maxRows rows — write parquet)")
+    def arrowType(dt: DataType, name: String): ArrowType = dt match {
+      case ByteType    => new ArrowType.Int(8, true)
+      case ShortType   => new ArrowType.Int(16, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case LongType    => new ArrowType.Int(64, true)
+      case FloatType   => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case DoubleType  => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case StringType  => ArrowType.Utf8.INSTANCE
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case BinaryType  => ArrowType.Binary.INSTANCE
+      case DateType    => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+      case TimestampType =>
+        new ArrowType.Timestamp(org.apache.arrow.vector.types.TimeUnit.MICROSECOND, null)
+      case other => throw new IllegalArgumentException(s"to_feather: $other in $name")
+    }
+    val aschema = new ASchema(df.schema.fields.map(f =>
+      new Field(f.name, FieldType.nullable(arrowType(f.dataType, f.name)), null)).toSeq.asJava)
+    val allocator = new RootAllocator()
+    val root = VectorSchemaRoot.create(aschema, allocator)
+    Option(new java.io.File(path).getParentFile).foreach(_.mkdirs())
+    val out = new java.io.FileOutputStream(path)
+    val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(
+      root, null, out.getChannel)
+    try {
+      root.allocateNew()
+      df.schema.fields.zipWithIndex.foreach { case (f, c) =>
+        val v = root.getVector(c)
+        rows.zipWithIndex.foreach { case (r, i) =>
+          if (r.isNullAt(c)) v.setNull(i)
+          else (v, f.dataType) match {
+            case (x: TinyIntVector, _)  => x.setSafe(i, r.getByte(c))
+            case (x: SmallIntVector, _) => x.setSafe(i, r.getShort(c))
+            case (x: IntVector, _)      => x.setSafe(i, r.getInt(c))
+            case (x: BigIntVector, _)   => x.setSafe(i, r.getLong(c))
+            case (x: Float4Vector, _)   => x.setSafe(i, r.getFloat(c))
+            case (x: Float8Vector, _)   => x.setSafe(i, r.getDouble(c))
+            case (x: VarCharVector, _) => x.setSafe(i,
+              r.getString(c).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            case (x: BitVector, _)      => x.setSafe(i, if (r.getBoolean(c)) 1 else 0)
+            case (x: VarBinaryVector, _) => x.setSafe(i, r.getAs[Array[Byte]](c))
+            case (x: DateDayVector, _) =>
+              x.setSafe(i, r.getDate(c).toLocalDate.toEpochDay.toInt)
+            case (x: TimeStampMicroVector, _) =>
+              val ts = r.getTimestamp(c)
+              x.setSafe(i, Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
+            case (other, dt) =>
+              throw new IllegalArgumentException(s"to_feather: $dt -> ${other.getClass}")
+          }
+        }
+        v.setValueCount(rows.length)
+      }
+      root.setRowCount(rows.length)
+      writer.start(); writer.writeBatch(); writer.end()
+    } finally { writer.close(); out.close(); root.close(); allocator.close() }
+  }
+
+  /** Read a feather file (or directory of *.feather) as a DataFrame. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", if (path.endsWith(".feather")) "*" else "*.feather")
+      .load(path)
+      .select("content")
+    val first = bin.limit(1).collect()
+    require(first.nonEmpty, s"no feather files at $path")
+    val schema = sparkSchema(first(0).getAs[Array[Byte]](0))
+    val encoder = Encoders.row(schema)
+    bin.as(Encoders.BINARY).mapPartitions(
+      (files: Iterator[Array[Byte]]) => files.flatMap(decode(_, schema)))(encoder)
+  }
+}

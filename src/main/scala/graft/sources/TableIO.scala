@@ -47,6 +47,7 @@ object TableIO {
       case "parquet" => writer.parquet(s"$dir/data.parquet")
       case "csv"     => writer.option("header", "true").csv(s"$dir/data.csv")
       case "json"    => writer.json(s"$dir/data.json")
+      case "feather" => FeatherIO.write(out, s"$dir/data.feather")
       case other     => throw new IllegalArgumentException(s"format: $other")
     }
     writeSidecar(dir, meta, format)
@@ -61,7 +62,8 @@ object TableIO {
       case "parquet" => spark.read.parquet(s"$dir/data.parquet")
       case "csv" => spark.read.option("header", "true")
         .option("inferSchema", "true").csv(s"$dir/data.csv")
-      case "json" => spark.read.json(s"$dir/data.json")
+      case "json"    => spark.read.json(s"$dir/data.json")
+      case "feather" => FeatherIO.read(spark, s"$dir/data.feather")
     }
     (if (safeTypes) Repack.toSafeTypes(df) else df, meta)
   }

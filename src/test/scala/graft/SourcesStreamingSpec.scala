@@ -47,6 +47,35 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(back.count() == 2 && back.columns.toSeq == Seq("k", "n"))
   }
 
+  test("feather (Arrow IPC) round-trip incl. nulls, dates, timestamps, sidecar dispatch") {
+    import graft.sources.FeatherIO
+    val df = Seq[(String, Option[Long], Option[Double], Boolean)](
+      ("a", Some(1L), Some(1.5), true),
+      ("b", None, None, false),
+      ("c", Some(-7L), Some(2.25), true)
+    ).toDF("k", "n", "x", "f")
+      .withColumn("d", to_date(lit("2023-05-04")))
+      .withColumn("ts", to_timestamp(lit("2023-05-04 12:34:56.123456")))
+    val path = tmpDir("feather") + "/t.feather"
+    FeatherIO.write(df, path)
+    val back = FeatherIO.read(spark, path)
+    assert(back.schema == df.schema.copy(fields =
+      df.schema.fields.map(_.copy(nullable = true))))
+    val rows = back.orderBy("k").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(1) == 1L && rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(0).getDouble(2) == 1.5 && rows(2).getLong(1) == -7L)
+    assert(rows(0).getDate(4).toString == "2023-05-04")
+    assert(rows(0).getTimestamp(5).getNanos == 123456000)
+    // sidecar format dispatch round-trips feather like csv/json/parquet
+    val dir = tmpDir("tio-feather")
+    TableIO.write(df.select("k", "n", "x"), dir,
+      TableMeta("t", primaryKey = Seq("k")), format = "feather", repack = false)
+    val (b2, meta) = TableIO.read(spark, dir)
+    assert(meta.shortName == "t" && b2.count() == 3)
+    assert(b2.columns.toSeq == Seq("k", "n", "x"))
+  }
+
   test("math funcs: bard, sig figs, power of ten") {
     val df = Seq((100.0, 101.0), (0.0, 0.0), (12345.0, 12345.0))
       .toDF("a", "b")
