@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextAnalysis
-import graft.operators.{Ann, Dedup, Multimodal}
+import graft.operators.{Ann, Dedup, Multimodal, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -181,6 +181,63 @@ object TrainQueries {
 
   val qSimhashSql: String = qSimhashInner
 
+  /** Transitive duplicate clusters over the simhash near-dup pairs: every
+    * doc in a pair labeled with the min doc id of its connected component
+    * (Dedup.dupClusters — the keep-one-per-group terminal step). */
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.simhashWide(t(spark, dir, "documents"), "doc_id", "text",
+      md5Based = true)
+    val pairs = Dedup.simhashWidePairs(sig, "doc_id", maxHamming = 3)
+    Dedup.dupClusters(pairs.select("i", "j")).orderBy("id")
+  }
+
+  val qDupClustersSql: String = {
+    val bandJoins = (0 until 4).map(c => s"s1.sim$c = s2.sim$c").mkString(" OR ")
+    val hamming = (0 until 4)
+      .map(c => s"bit_count(xor(s1.sim$c, s2.sim$c))").mkString(" + ")
+    s"""WITH RECURSIVE sims AS ($qSimhashWideInner),
+       |pairs AS (
+       |  SELECT DISTINCT s1.doc_id AS i, s2.doc_id AS j
+       |  FROM sims s1 JOIN sims s2
+       |    ON s1.doc_id < s2.doc_id AND ($bandJoins)
+       |  WHERE $hamming <= 3),
+       |edges AS (SELECT i AS a, j AS b FROM pairs
+       |          UNION SELECT j, i FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+       |  UNION
+       |  SELECT e.a, re.r FROM edges e JOIN reach re ON e.b = re.id)
+       |SELECT id, MIN(r) AS label FROM reach GROUP BY id ORDER BY id""".stripMargin
+  }
+
+  /** Deterministic 25% hash sample (split-stable train/val carving). */
+  def qHashSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(
+      t(spark, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", 0.25, seed = 7)
+      .orderBy("doc_id")
+
+  val qHashSampleSql: String = {
+    val hexVal = (1 to 8).map { p =>
+      val mult = math.pow(16, 8 - p).toLong
+      s"(STRPOS('0123456789abcdef', SUBSTR(md5(doc_id::VARCHAR || '#7'), $p, 1)) - 1) * $mult"
+    }.mkString(" + ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE $hexVal < ${math.round(0.25 * 4294967296.0)}
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Top-50 corpus vocabulary with counts (BPE/vocab trainer input). */
+  def qVocabTopK(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.TextAnalysis.topKTokens(t(spark, dir, "documents"), "text", 50)
+      .orderBy(col("cnt").desc, col("tok"))
+
+  val qVocabTopKSql: String =
+    """SELECT tok, COUNT(*) AS cnt
+      |FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE LEN(tok) > 0
+      |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin
+
   // --------------------------------------------------------------- ANN / cos
 
   private val cosSql =
@@ -347,6 +404,9 @@ object TrainQueries {
     "q_minhash_lsh_pairs" -> ((qMinhashLshPairs _, qMinhashLshPairsSql)),
     "q_simhash" -> ((qSimhash _, qSimhashSql)),
     "q_simhash_pairs" -> ((qSimhashPairs _, qSimhashPairsSql)),
+    "q_dup_clusters" -> ((qDupClusters _, qDupClustersSql)),
+    "q_hash_sample" -> ((qHashSample _, qHashSampleSql)),
+    "q_vocab_topk" -> ((qVocabTopK _, qVocabTopKSql)),
     "q_ann_topk" -> ((qAnnTopK _, qAnnTopKSql)),
     "q_embedding_neardup" -> ((qEmbeddingNearDup _, qEmbeddingNearDupSql)),
     "q_lang_id" -> ((qLangId _, qLangIdSql)),

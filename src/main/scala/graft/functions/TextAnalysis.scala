@@ -63,4 +63,20 @@ object TextAnalysis {
   /** Document fingerprint: digest of whitespace-normalized lowercase text. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Corpus vocabulary: the k most frequent tokens with counts — the
+    * token-frequency pass a BPE/vocab trainer starts from. One explode +
+    * one hash aggregation (map-side partial: hot tokens collapse per
+    * partition before the shuffle), then a driver-bounded top-k. Ties
+    * broken by token for a deterministic cut. */
+  def topKTokens(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      k: Int
+  ): org.apache.spark.sql.DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(k)
 }

@@ -287,6 +287,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate clusters from candidate pairs — the terminal step of every
+    * near-dup pipeline (keep one doc per TRANSITIVE duplicate group, not
+    * per pair): connected components by iterative min-label propagation.
+    * Each node's label converges to the minimum doc id in its component in
+    * O(component diameter) rounds; near-dup clusters are shallow (a dup
+    * group's pair graph is dense), so convergence is a handful of rounds.
+    * Per round: one equi-join + one min-aggregation, with
+    * `localCheckpoint` truncating the iterative lineage (the classic
+    * Spark iterative-algorithm trap: an unbounded plan tree). The
+    * convergence check is a slim count of changed labels.
+    *
+    * Input: (i, j) candidate pairs (i < j). Output: (id, label) — label =
+    * min id of the component; docs in no pair are singletons and simply
+    * don't appear (their label is themselves by definition). */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("bl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("bl")).as("nl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"dupClusters did not converge in $maxIters rounds")
+    labels
+  }
+
   /** Embedding near-duplicates within coarse cells (IVF-style): pairs are
     * only compared inside the same `cellCol` partition — the pruning that
     * makes near-dup tractable at scale. Cosine computed in double with a

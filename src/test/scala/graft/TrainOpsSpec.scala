@@ -112,6 +112,31 @@ class TrainOpsSpec extends SparkSpec {
     }
   }
 
+  test("dupClusters resolves transitive duplicate groups to min-id labels") {
+    import graft.operators.Sampling
+    // components: {1,2,3,4} via a chain (1-2, 2-3, 3-4) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val labels = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // hash sampling: deterministic, repartition-stable, roughly proportional
+    val ids = spark.range(0, 2000).select($"id".as("doc_id"))
+    val s1 = Sampling.hashSample(ids, "doc_id", 0.25, seed = 7)
+      .as[Long].collect().toSet
+    val s2 = Sampling.hashSample(ids.repartition(13), "doc_id", 0.25, seed = 7)
+      .as[Long].collect().toSet
+    assert(s1 == s2) // layout-independent (df.sample is not)
+    assert(s1.size > 350 && s1.size < 650) // ~500 expected
+    assert(Sampling.hashSample(ids, "doc_id", 0.0).count() == 0)
+    assert(Sampling.hashSample(ids, "doc_id", 1.0).count() == 2000)
+
+    // vocabulary: counts and deterministic tie-break
+    val docs2 = Seq("b a a", "a b  c").toDF("text") // double space → empty token dropped
+    val vocab = graft.functions.TextAnalysis.topKTokens(docs2, "text", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(vocab == Seq(("a", 3L), ("b", 2L)))
+  }
+
   test("ngram jaccard: capped path equals uncapped when no shingle is hot") {
     val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 64)
       .as[(Long, Long, Double)].collect().toSet
