@@ -227,6 +227,41 @@ object TrainQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-doc duplicated-3-gram fraction (Gopher repetition filter). */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.duplicateNgramFrac(col("text"), 3)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+
+  val qRepetitionSql: String =
+    s"""WITH $shingleCte,
+       |dn AS (SELECT doc_id, COUNT(*) AS d FROM sh GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CASE WHEN len(l) - 2 >= 1
+       |       THEN ROUND(1.0 - d * 1.0 / (len(l) - 2), 6) END AS dup_frac
+       |FROM toks t LEFT JOIN dn ON t.doc_id = dn.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** Contamination vs a benchmark set (= the shingles of docs 0-9 here):
+    * fraction of each doc's distinct shingles found in the benchmark. */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bench = Dedup.shingles(docs.filter(col("doc_id") < 10), "doc_id", "text", 3)
+      .select("shingle")
+    Dedup.contaminationFrac(docs, "doc_id", "text", bench, 3)
+      .orderBy("doc_id")
+  }
+
+  val qContaminationSql: String =
+    s"""WITH $shingleCte,
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+       |SELECT doc_id,
+       |  ROUND(SUM(CASE WHEN shingle IN (SELECT shingle FROM bench)
+       |            THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS contaminated_frac
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Top-50 corpus vocabulary with counts (BPE/vocab trainer input). */
   def qVocabTopK(spark: SparkSession, dir: String): DataFrame =
     graft.functions.TextAnalysis.topKTokens(t(spark, dir, "documents"), "text", 50)
@@ -407,6 +442,8 @@ object TrainQueries {
     "q_dup_clusters" -> ((qDupClusters _, qDupClustersSql)),
     "q_hash_sample" -> ((qHashSample _, qHashSampleSql)),
     "q_vocab_topk" -> ((qVocabTopK _, qVocabTopKSql)),
+    "q_repetition" -> ((qRepetition _, qRepetitionSql)),
+    "q_contamination" -> ((qContamination _, qContaminationSql)),
     "q_ann_topk" -> ((qAnnTopK _, qAnnTopKSql)),
     "q_embedding_neardup" -> ((qEmbeddingNearDup _, qEmbeddingNearDupSql)),
     "q_lang_id" -> ((qLangId _, qLangIdSql)),

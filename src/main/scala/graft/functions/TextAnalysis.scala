@@ -64,6 +64,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Gopher-style repetition signal: fraction of DUPLICATED word n-grams,
+    * 1 − distinct/total (0 = no repetition, →1 = highly repetitive — the
+    * filter that catches boilerplate/spam pages). Single scan-stage
+    * expression: total from the token count, distinct via the native
+    * word_ngrams expression (hash-set dedup in one pass). NULL for docs
+    * with fewer than n tokens. */
+  def duplicateNgramFrac(text: Column, n: Int = 3): Column = {
+    val total = size(split(text, " ")) - (n - 1)
+    val dist = size(NgramExpression.word_ngrams(text, n))
+    when(total >= 1,
+      round(lit(1.0) - dist.cast("double") / total, 6)).otherwise(lit(null))
+  }
+
   /** Corpus vocabulary: the k most frequent tokens with counts — the
     * token-frequency pass a BPE/vocab trainer starts from. One explode +
     * one hash aggregation (map-side partial: hot tokens collapse per

@@ -287,6 +287,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: per-document fraction of its distinct
+    * n-gram shingles that appear in the benchmark shingle set — the
+    * standard check that training data does not contain eval-benchmark
+    * text. The benchmark side is tiny next to the corpus (eval suites are
+    * KBs–MBs) → broadcast hash join in the shingle scan stage; the corpus
+    * never shuffles by shingle. */
+  def contaminationFrac(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmarkShingles: DataFrame, // one column: shingle
+      n: Int = 3
+  ): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val bench = benchmarkShingles.select(col("shingle")).distinct()
+      .withColumn("__hit", lit(1))
+    sh.join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(round(
+        sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1)), 6)
+        .as("contaminated_frac"))
+  }
+
   /** Duplicate clusters from candidate pairs — the terminal step of every
     * near-dup pipeline (keep one doc per TRANSITIVE duplicate group, not
     * per pair): connected components by iterative min-label propagation.

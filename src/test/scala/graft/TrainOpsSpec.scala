@@ -137,6 +137,24 @@ class TrainOpsSpec extends SparkSpec {
     assert(vocab == Seq(("a", 3L), ("b", 2L)))
   }
 
+  test("repetition score and benchmark contamination") {
+    // "a b c" repeated: 8 tokens → 6 trigrams, 3 distinct → dup_frac 0.5
+    val rep = Seq((1L, "a b c a b c a b"), (2L, "x y")).toDF("doc_id", "text")
+      .select($"doc_id",
+        TextAnalysis.duplicateNgramFrac($"text", 3).as("f"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rep(1L).contains(0.5))
+    assert(rep(2L).isEmpty) // < 3 tokens → null
+
+    val bench = Dedup.shingles(docs.filter($"doc_id" === 1), "doc_id", "text", 3)
+      .select("shingle")
+    val cont = Dedup.contaminationFrac(docs, "doc_id", "text", bench, 3)
+      .as[(Long, Double)].collect().toMap
+    assert(cont(1L) == 1.0 && cont(4L) == 1.0) // doc 4 is an exact dup of 1
+    assert(cont(3L) == 0.0)                    // unrelated doc untouched
+    assert(cont(2L) > 0.0 && cont(2L) < 1.0)   // near-dup partially contaminated
+  }
+
   test("ngram jaccard: capped path equals uncapped when no shingle is hot") {
     val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 64)
       .as[(Long, Long, Double)].collect().toSet
