@@ -116,6 +116,52 @@ class GrapherSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end publish: rollup → grapher adapt → rendered fan-out → partitioned write") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.meta.MetaTable
+    import graft.model.{TableMeta, VariableMeta}
+    import graft.ops.GroupOps
+    // garden table: (country, year, sex) → deaths, with templated metadata
+    val garden = Seq(
+      ("France", 2020, "male", 10.0), ("France", 2020, "female", 11.0),
+      ("Germany", 2020, "male", 20.0), ("Germany", 2020, "female", 21.0)
+    ).toDF("country", "year", "sex", "deaths")
+    val members = Seq(("Europe", "France"), ("Europe", "Germany"))
+      .toDF("region", "member")
+    val rolled = GroupOps.addRegionAggregates(
+      garden, "country", Seq("year", "sex"), Seq("deaths"), members)
+    val mt = MetaTable(rolled, TableMeta("deaths_table", fields = Map(
+      "deaths" -> VariableMeta(title = Some("Deaths"), unit = Some("deaths"),
+        description = Some(
+          "Deaths among {% if sex == 'male' %}men{% else %}women{% endif %}")))))
+    // publish adaptation: entities resolved (Europe created on the fly)
+    val adapted = Grapher.adaptTableForGrapher(mt, entities)
+    assert(adapted.df.columns.toSet ==
+      Set("entityId", "entityCode", "entityName", "year", "sex", "deaths"))
+    // per-combo fan-out with rendered metadata
+    val fanned = Grapher.yieldWideTablesWithMeta(
+      adapted, Seq("entityId", "year"), Seq("sex"), Seq("deaths"))
+    assert(fanned.map(_._1) == Seq("deaths__sex_female", "deaths__sex_male"))
+    assert(fanned.forall(_._3.unit.contains("deaths")))
+    assert(fanned.find(_._1 == "deaths__sex_male").get
+      ._3.description.contains("Deaths among men"))
+    // one partitioned write of the union; per-variable read-back intact
+    val long = fanned.map { case (name, df, _) =>
+      df.select(col("entityId"), col("year"),
+        lit(name).as("variable"), col(name).as("value"))
+    }.reduce(_ unionByName _)
+    val out = tmpDir("grapher-e2e")
+    Grapher.writeLongAsWideTables(long, out)
+    val male = Grapher.readWideTable(spark, out, "deaths__sex_male")
+    val byEntity = male.select("entityId", "deaths__sex_male")
+      .as[(Long, Double)].collect().toMap
+    // Europe row rolled up (10+20), member rows preserved
+    val europeId = adapted.df.filter($"entityName" === "Europe")
+      .select("entityId").as[Long].head()
+    assert(byEntity(europeId) == 30.0)
+    assert(byEntity(2L) == 10.0) // France
+  }
+
   test("long fan-out: partitionBy write + per-variable wide read-back") {
     val long = Seq(
       ("usa", 2020, "gdp", 100.0), ("usa", 2020, "pop", 5.0),

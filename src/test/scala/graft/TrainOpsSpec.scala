@@ -137,6 +137,27 @@ class TrainOpsSpec extends SparkSpec {
     assert(vocab == Seq(("a", 3L), ("b", 2L)))
   }
 
+  test("dupClusters matches a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val pairsSeq = Seq.fill(40) {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairsSeq.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val nodes = pairsSeq.flatMap(p => Seq(p._1, p._2)).distinct
+      val minByRoot = nodes.groupBy(id => find(id.toInt)).map { case (r, ids) => r -> ids.min }
+      val expected = nodes.map(id => id -> minByRoot(find(id.toInt))).toMap
+      val got = Dedup.dupClusters(pairsSeq.toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    }
+  }
+
   test("repetition score and benchmark contamination") {
     // "a b c" repeated: 8 tokens → 6 trigrams, 3 distinct → dup_frac 0.5
     val rep = Seq((1L, "a b c a b c a b"), (2L, "x y")).toDF("doc_id", "text")
