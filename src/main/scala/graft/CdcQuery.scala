@@ -29,8 +29,22 @@ object CdcQuery {
     // merge converges to the same final state under ANY batch split
     // (CdcSpec's arbitrary-split property), so a non-contiguous split is
     // also a stronger exercise of the engine than a contiguous one
-    val tableDir = java.nio.file.Files
-      .createTempDirectory("cdc-query").toString + "/pages"
+    // lake scratch on tmpfs when present: the query measures the engine's
+    // compute path, not the sandbox's single shared disk
+    val scratchRoot =
+      if (new java.io.File("/dev/shm").isDirectory) java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val scratch = java.nio.file.Files.createTempDirectory(scratchRoot, "cdc-query")
+    // the read is lazy — the caller acts on the returned frame later, so
+    // cleanup happens at JVM exit (tmpfs scratch must not accumulate)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(scratch))
+        Files.walk(scratch).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }))
+    val tableDir = scratch.toString + "/pages"
     val table = Engine.createPagesTable(tableDir, numBuckets = 8)
     MergeApply(spark, table, ce.filter(pmod(col("lsn"), lit(2)) === 0), batchId = 0L)
     MergeApply(spark, table, ce.filter(pmod(col("lsn"), lit(2)) === 1), batchId = 1L)
