@@ -338,15 +338,16 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("bl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("bl")).as("nl"))
+      // old label carried through the checkpoint so the convergence count
+      // is a filter over materialized data, not another join
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          col("label").as("__old"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.drop("__old")
       iter += 1
     }
     require(changed == 0, s"dupClusters did not converge in $maxIters rounds")
