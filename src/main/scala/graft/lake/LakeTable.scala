@@ -357,6 +357,66 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
     }
   }
 
+  /** Incremental change feed — the rows each merge-on-read commit applied,
+    * for snapshots in (fromExclusive, toInclusive] (Iceberg's incremental
+    * read): the primitive that lets DOWNSTREAM steps recompute
+    * incrementally (consume only changed keys) instead of the reference's
+    * re-run-the-whole-step model. Each row carries `_op` ('U' upsert / 'D'
+    * delete when the table has a tombstone column) and `_snapshot_id`; a
+    * key changed in k commits of the window appears k times, LSN-ordered
+    * within each commit's slice.
+    *
+    * Cost is O(changes): only each commit's ADDED delta files are read —
+    * never the base table. Compaction snapshots (batchId < 0) rewrite
+    * physically but change nothing logically and are skipped; copy-on-write
+    * commits rewrite whole buckets (their added files mix changed and
+    * carried rows) and are rejected loudly — run the table in MOR mode for
+    * change-feed consumers. */
+  def changesBetween(
+      spark: SparkSession,
+      fromExclusive: Long,
+      toInclusive: Long
+  ): DataFrame = {
+    val m = metadata
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    val window = m.snapshots
+      .filter(s => s.snapshotId > fromExclusive && s.snapshotId <= toInclusive)
+      .sortBy(_.snapshotId)
+    require(fromExclusive <= toInclusive &&
+      (fromExclusive == toInclusive || window.nonEmpty),
+      s"no snapshots in ($fromExclusive, $toInclusive] — retained: " +
+        m.snapshots.map(_.snapshotId).mkString(", "))
+    val op = m.tombstoneColumn match {
+      case Some(t) => when(coalesce(col(t), lit(false)), lit("D")).otherwise(lit("U"))
+      case None    => lit("U")
+    }
+    val frames = window.flatMap { s =>
+      if (s.batchId < 0) None // compaction: physical rewrite, no logical change
+      else {
+        val parentPaths = s.parentId.flatMap(byId.get)
+          .map(p => filesOf(p).map(_.path).toSet).getOrElse(Set.empty[String])
+        val added = filesOf(s).filterNot(f => parentPaths.contains(f.path))
+        require(added.forall(_.kind == "delta"),
+          s"snapshot ${s.snapshotId} is a copy-on-write commit — the change " +
+            "feed requires merge-on-read commits (added files must be deltas)")
+        if (added.isEmpty) None
+        else Some(readRaw(spark, m, added)
+          .withColumn("_op", op)
+          .withColumn("_snapshot_id", lit(s.snapshotId)))
+      }
+    }
+    frames.reduceOption(_ unionByName _).getOrElse {
+      val schema = org.apache.spark.sql.types.StructType(
+        m.currentSchema.toStruct.fields :+
+          org.apache.spark.sql.types.StructField("_op",
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("_snapshot_id",
+            org.apache.spark.sql.types.LongType, nullable = false))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
   /** Raw rows of the given files projected to the current schema by
     * field-ID — no reconciliation (the compaction/merge input path). */
   def readRaw(spark: SparkSession, m: TableMetadata, files: Seq[DataFile]): DataFrame = {

@@ -245,6 +245,53 @@ class LakeSpec extends SparkSpec {
     assert(got.filter($"url" === "u17").count() == 1)
   }
 
+  test("changesBetween: O(changes) incremental feed; replay reduces to table state") {
+    import org.apache.spark.sql.functions.{max_by, struct}
+    val dir = tmpDir("lake-changes") + "/pages"
+    val table = cdc.Engine.createPagesTable(dir, 4)
+    def evd(lsn: Long, op: String, url: String) = graft.model.ChangeEvent(
+      lsn, op, url, new java.sql.Timestamp(0), Array.emptyByteArray, s"t$lsn", "en")
+    cdc.MergeApply(spark, table,
+      (1 to 50).map(i => evd(i.toLong, "U", s"u${i % 20}")).toDS.toDF,
+      0L, stepId = "cdc_ingest")
+    val snap1 = table.metadata.currentSnapshotId.get
+    cdc.MergeApply.compact(spark, table) // physical only — must emit nothing
+    cdc.MergeApply(spark, table,
+      Seq(evd(100, "U", "u3"), evd(101, "D", "u7"), evd(102, "U", "u99")).toDS.toDF,
+      1L, stepId = "cdc_ingest")
+    val snapEnd = table.metadata.currentSnapshotId.get
+
+    // window after snap1: compaction skipped, second batch's 3 changes only
+    val tail = table.changesBetween(spark, snap1, snapEnd)
+    val rows = tail.select("url", "_op", "_lsn", "_snapshot_id")
+      .as[(String, String, Long, Long)].collect().sortBy(_._3)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq(("u3", "U", 100L), ("u7", "D", 101L), ("u99", "U", 102L)))
+    assert(rows.map(_._4).distinct.length == 1) // all from the one MOR commit
+
+    // full-window feed LWW-reduces to exactly the current table state
+    val feed = table.changesBetween(spark, 0L, snapEnd)
+    assert(feed.count() == 20 + 3) // batch-1 winners (20 keys) + 3 changes
+    val reduced = feed
+      .groupBy("url")
+      .agg(max_by(struct($"_op", $"text", $"_lsn"), $"_lsn").as("w"))
+      .filter($"w._op" =!= "D")
+      .select($"url", $"w.text".as("text"))
+    val state = table.read(spark).select("url", "text")
+    assert(reduced.except(state).isEmpty && state.except(reduced).isEmpty)
+
+    // empty window; bad window; COW commit rejected
+    assert(table.changesBetween(spark, snapEnd, snapEnd).count() == 0)
+    intercept[IllegalArgumentException] {
+      table.changesBetween(spark, snapEnd + 5, snapEnd + 9)
+    }
+    cdc.MergeApply(spark, table, Seq(evd(200, "U", "u1")).toDS.toDF,
+      2L, stepId = "cdc_ingest", mode = cdc.MergeApply.CopyOnWrite)
+    intercept[IllegalArgumentException] {
+      table.changesBetween(spark, snapEnd, table.metadata.currentSnapshotId.get)
+    }
+  }
+
   test("vacuum deletes only files unreferenced by retained snapshots; " +
       "manifests carry real per-file row counts") {
     val dir = tmpDir("lake-vac") + "/pages"
