@@ -134,7 +134,11 @@ object MergeApply {
       batchId: Long,
       stepId: String = "merge-apply",
       saltBuckets: Int = 0,
-      mode: MergeMode = MergeOnRead
+      mode: MergeMode = MergeOnRead,
+      // DAG lineage carried into the committed snapshot (incremental steps
+      // record the upstream snapshot they consumed + their input checksum)
+      inputSnapshots: Map[String, Long] = Map.empty,
+      inputChecksum: Option[String] = None
   ): MergeStats = {
     val meta = table.metadata
     // exactly-once: idempotent-writer ledger keyed on (stepId, batchId) —
@@ -227,7 +231,9 @@ object MergeApply {
           rowsInserted = g(mRow, "rows") - g(mRow, "dels"),
           rowsUpdated = 0L, rowsDeleted = g(mRow, "dels"),
           schemaVersion = cur.schemaVersion,
-          files = carried ++ newFiles)
+          files = carried ++ newFiles,
+          inputSnapshots = inputSnapshots,
+          inputChecksum = inputChecksum)
         table.commit(meta.copy(version = meta.version + 1,
           currentSnapshotId = Some(snapId),
           snapshots = meta.snapshots :+ snap,
@@ -299,7 +305,9 @@ object MergeApply {
           rowsUpdated = g(mergeRow, "updated"),
           rowsDeleted = g(mergeRow, "deleted"),
           schemaVersion = cur.schemaVersion,
-          files = carried ++ newFiles)
+          files = carried ++ newFiles,
+          inputSnapshots = inputSnapshots,
+          inputChecksum = inputChecksum)
         table.commit(meta.copy(version = meta.version + 1,
           currentSnapshotId = Some(snapId),
           snapshots = meta.snapshots :+ snap,

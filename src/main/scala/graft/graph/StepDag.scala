@@ -29,7 +29,35 @@ final case class Step(
     id: String,
     deps: Seq[String],
     codeVersion: String, // the reference's code-file checksum analogue
-    run: (SparkSession, Map[String, DataFrame]) => DataFrame
+    run: (SparkSession, Map[String, DataFrame]) => DataFrame,
+    incremental: Option[IncrementalSpec] = None
+)
+
+object Step {
+  /** An externally-ingested table (e.g. the CDC engine's pages table):
+    * participates in dependency resolution and input checksums — downstream
+    * steps go dirty when its snapshot advances — but is never built by the
+    * DAG (the reference's snapshot:// source-step analogue). */
+  def external(id: String): Step = Step(id, Nil, "external", null)
+}
+
+/** Downstream INCREMENTAL recompute — the CDC payoff the reference lacks
+  * (it re-runs whole steps): when only `changeDep` moved since the step's
+  * last build, the step consumes `changeDep`'s CHANGE FEED
+  * (LakeTable.changesBetween — cost O(changes), never the base table) and
+  * LWW merge-applies the mapped change events into its output table.
+  *
+  * `mapChanges(spark, feed, otherDeps)` receives the feed (upstream rows +
+  * `_op`/`_snapshot_id`) and full frames of the OTHER deps (dimension
+  * lookups), and must return change events shaped
+  * `(lsn long, op 'U'|'D', <key>, value columns of the step's output)` —
+  * a deleted upstream key maps to a 'D' event. Any other change (code
+  * version, another dep, first build) falls back to the full `run` +
+  * rewrite, so incremental is purely an optimization, never a semantics
+  * change. */
+final case class IncrementalSpec(
+    changeDep: String,
+    mapChanges: (SparkSession, DataFrame, Map[String, DataFrame]) => DataFrame
 )
 
 final case class RunReport(
@@ -99,11 +127,21 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8) {
   /** A step's input checksum: code version + upstream snapshot ids
     * (checksum_input analogue — Merkle through the DAG because upstream
     * snapshot ids themselves advance only when their inputs changed). */
-  private def inputChecksum(id: String): String = {
+  private def inputChecksum(id: String): String =
+    inputChecksumPinned(id, Map.empty)
+
+  /** Input checksum with some deps PINNED to given snapshot ids — used to
+    * test whether ONLY the incremental change-dep moved (pin it to the
+    * stored snapshot: equality with the stored checksum means nothing else
+    * changed). */
+  private def inputChecksumPinned(id: String, pin: Map[String, Long]): String = {
     val s = byId(id)
     val parts = s.codeVersion +: s.deps.sorted.map { d =>
-      val t = table(d)
-      s"$d=${if (t.exists) t.metadata.currentSnapshotId.getOrElse(-1L) else -1L}"
+      val sid = pin.getOrElse(d, {
+        val t = table(d)
+        if (t.exists) t.metadata.currentSnapshotId.getOrElse(-1L) else -1L
+      })
+      s"$d=$sid"
     }
     Checksums.md5Hex(parts.mkString("|"))
   }
@@ -130,28 +168,69 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8) {
     val executed = scala.collection.mutable.ArrayBuffer.empty[String]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     for (id <- order) {
-      val dirty = force || isDirty(id)
+      val s = byId(id)
+      val dirty = s.run != null && (force || isDirty(id))
       if (!dirty) skipped += id
       else if (!dryRun) {
-        val s = byId(id)
-        val inputs = s.deps.map(d => d -> table(d).read(spark)).toMap
-        val out = s.run(spark, inputs)
-        writeOutput(spark, id, out)
+        if (!runIncrementalIfPossible(spark, id)) {
+          val inputs = s.deps.map(d => d -> table(d).read(spark)).toMap
+          val out = s.run(spark, inputs)
+          writeOutput(spark, id, out)
+        }
         executed += id
       } else executed += id
     }
     RunReport(executed.toSeq, skipped.toSeq, order)
   }
 
-  private def writeOutput(spark: SparkSession, id: String, df: DataFrame): Unit = {
+  /** Incremental path: applies when the step has an IncrementalSpec, its
+    * output exists, and pinning the change-dep to the PREVIOUSLY-consumed
+    * snapshot reproduces the stored input checksum (proving code + all
+    * other deps are unchanged — only the change-dep moved). Consumes the
+    * change feed and LWW merge-applies the mapped events. Returns false →
+    * caller takes the full-rebuild path. */
+  private def runIncrementalIfPossible(spark: SparkSession, id: String): Boolean = {
+    val s = byId(id)
+    val inc = s.incremental.getOrElse(return false)
+    val t = table(id)
+    if (!t.exists || t.metadata.currentSnapshotId.isEmpty) return false
+    val cur = t.metadata.currentSnapshot.get
+    val lastConsumed = cur.inputSnapshots.get(inc.changeDep).getOrElse(return false)
+    val stored = cur.inputChecksum.getOrElse(return false)
+    if (inputChecksumPinned(id, Map(inc.changeDep -> lastConsumed)) != stored)
+      return false // something besides the change-dep moved → full rebuild
+    val upstream = table(inc.changeDep)
+    val to = upstream.metadata.currentSnapshotId.getOrElse(return false)
+    val feed = upstream.changesBetween(spark, lastConsumed, to)
+    val others = s.deps.filterNot(_ == inc.changeDep)
+      .map(d => d -> table(d).read(spark)).toMap
+    val events = inc.mapChanges(spark, feed, others)
+    graft.cdc.MergeApply(spark, t, events,
+      batchId = to, stepId = s"step:$id",
+      inputSnapshots = s.deps.map(d =>
+        d -> table(d).metadata.currentSnapshotId.getOrElse(-1L)).toMap,
+      inputChecksum = Some(inputChecksum(id)))
+    true
+  }
+
+  private def writeOutput(spark: SparkSession, id: String, df0: DataFrame): Unit = {
     import graft.lake._
     import org.apache.spark.sql.functions._
     val t = table(id)
+    val isIncremental = byId(id).incremental.isDefined
+    // incremental steps' outputs are LWW tables (merge-apply target): the
+    // full build seeds every row at LSN 0, not deleted
+    val df =
+      if (isIncremental)
+        df0.withColumn("_lsn", lit(0L)).withColumn("_deleted", lit(false))
+      else df0
     if (!t.exists) {
       val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
         LakeField(i + 1, f.name, f.dataType.sql.toLowerCase, f.nullable)
       }
-      t.create(fields.toSeq, numBuckets, df.columns.head)
+      t.create(fields.toSeq, numBuckets, df.columns.head,
+        lwwColumn = if (isIncremental) Some("_lsn") else None,
+        tombstoneColumn = if (isIncremental) Some("_deleted") else None)
     }
     val meta = t.metadata
     val snapId = meta.currentSnapshotId.getOrElse(0L) + 1

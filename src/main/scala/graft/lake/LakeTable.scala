@@ -382,10 +382,14 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
     val window = m.snapshots
       .filter(s => s.snapshotId > fromExclusive && s.snapshotId <= toInclusive)
       .sortBy(_.snapshotId)
+    // snapshot ids are consecutive per table, so the window is complete iff
+    // every id in (from, to] is still retained — a truncated log must fail
+    // loudly, not silently drop a commit's changes
     require(fromExclusive <= toInclusive &&
-      (fromExclusive == toInclusive || window.nonEmpty),
-      s"no snapshots in ($fromExclusive, $toInclusive] — retained: " +
-        m.snapshots.map(_.snapshotId).mkString(", "))
+      window.map(_.snapshotId).toSet == (fromExclusive + 1 to toInclusive).toSet,
+      s"change window ($fromExclusive, $toInclusive] exceeds the retained " +
+        s"snapshot log (${m.snapshots.map(_.snapshotId).mkString(", ")}) — " +
+        "increase retainSnapshots or rebuild the consumer")
     val op = m.tombstoneColumn match {
       case Some(t) => when(coalesce(col(t), lit(false)), lit("D")).otherwise(lit("U"))
       case None    => lit("U")

@@ -52,6 +52,66 @@ class DagSpec extends SparkSpec {
     assert(r.executed == Seq("data/b", "data/c")) // Merkle cascade
   }
 
+  test("incremental step: consumes the change feed, matches full recompute") {
+    import graft.graph.IncrementalSpec
+    val store = tmpDir("dag-inc")
+    // external CDC table, ingested outside the DAG (MOR commits)
+    def evd(lsn: Long, op: String, url: String, text: String) =
+      graft.model.ChangeEvent(lsn, op, url,
+        new java.sql.Timestamp(0), Array.emptyByteArray, text, "en")
+    val srcDir = s"$store/pages"
+    val src = cdc.Engine.createPagesTable(srcDir, 4)
+    cdc.MergeApply(spark, src,
+      (1 to 40).map(i => evd(i.toLong, "U", s"u${i % 10}", s"w " * (i % 5 + 1))).toDS.toDF,
+      0L, stepId = "cdc_ingest")
+
+    var fullRuns = 0
+    val tokenCount = Step("derived/tokens", Seq("pages"), "v1",
+      run = (s, in) => {
+        fullRuns += 1
+        in("pages").select(col("url"),
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok"))
+      },
+      incremental = Some(IncrementalSpec("pages",
+        mapChanges = (s, feed, _) => feed.select(
+          col("_lsn").as("lsn"), col("_op").as("op"), col("url"),
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok")))))
+    val dag = new StepDag(Seq(Step.external("pages"), tokenCount), store)
+
+    // first build: full path (no output yet); external step never executes
+    val r1 = dag.run(spark)
+    assert(r1.executed == Seq("derived/tokens") && r1.skipped == Seq("pages"))
+    assert(fullRuns == 1)
+    // no upstream movement → clean
+    assert(dag.run(spark).executed.isEmpty)
+
+    // upstream moves: update u3, delete u7, insert u99 → INCREMENTAL path
+    cdc.MergeApply(spark, src,
+      Seq(evd(100, "U", "u3", "a b c"), evd(101, "D", "u7", ""),
+        evd(102, "U", "u99", "x y")).toDS.toDF,
+      1L, stepId = "cdc_ingest")
+    val r2 = dag.run(spark)
+    assert(r2.executed == Seq("derived/tokens"))
+    assert(fullRuns == 1) // run() NOT invoked — change feed consumed instead
+    val out = dag.table("derived/tokens").read(spark)
+      .select("url", "n_tok").as[(String, Long)].collect().toMap
+    assert(out("u3") == 3L && out("u99") == 2L)
+    assert(!out.contains("u7")) // delete propagated as tombstone
+    // incremental state ≡ full recompute over the current upstream
+    val expected = src.read(spark)
+      .select(col("url"), org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[(String, Long)].collect().toMap
+    assert(out == expected)
+    // converged again
+    assert(dag.run(spark).executed.isEmpty)
+
+    // a code change falls back to the FULL path
+    val dag2 = new StepDag(Seq(Step.external("pages"),
+      tokenCount.copy(codeVersion = "v2")), store)
+    val r3 = dag2.run(spark)
+    assert(r3.executed == Seq("derived/tokens") && fullRuns == 2)
+  }
+
   test("cycles and missing deps are rejected") {
     val bad = new StepDag(Seq(
       Step("x", Seq("y"), "v", (_, _) => null),
