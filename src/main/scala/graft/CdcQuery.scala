@@ -62,7 +62,47 @@ object CdcQuery {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY url""".stripMargin
 
+  /** The incremental change feed under the gate: replay the same two
+    * parity-split batches, then read EVERY change the table applied via
+    * `changesBetween` over the full window. The oracle recomputes each
+    * batch's per-key LWW winner independently — the feed must contain
+    * exactly those rows (tombstones included). */
+  def qChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val ce = toChangeEvents(Queries.t(spark, dir, "events"))
+    val scratchRoot =
+      if (new java.io.File("/dev/shm").isDirectory) java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val scratch = java.nio.file.Files.createTempDirectory(scratchRoot, "cdc-feed")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(scratch))
+        Files.walk(scratch).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }))
+    val table = Engine.createPagesTable(scratch.toString + "/pages", numBuckets = 8)
+    MergeApply(spark, table, ce.filter(pmod(col("lsn"), lit(2)) === 0), batchId = 0L)
+    MergeApply(spark, table, ce.filter(pmod(col("lsn"), lit(2)) === 1), batchId = 1L)
+    table.changesBetween(spark, 0L, table.metadata.currentSnapshotId.get)
+      .select(col("url"), col("text"), col("lang"),
+        col("_lsn"), col("_op"))
+      .orderBy("_lsn")
+  }
+
+  val qChangeFeedSql: String =
+    """WITH ce AS (
+      |  SELECT event_id AS lsn,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    'u' || CAST(user_id AS VARCHAR) AS url,
+      |    props AS text, event_type AS lang, event_id % 2 AS b
+      |  FROM events),
+      |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY url, b
+      |        ORDER BY lsn DESC) AS rn FROM ce)
+      |SELECT url, text, lang, lsn AS _lsn, op AS _op
+      |FROM w WHERE rn = 1 ORDER BY _lsn""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "q_cdc_merge" -> ((qCdcMerge _, qCdcMergeSql))
+    "q_cdc_merge" -> ((qCdcMerge _, qCdcMergeSql)),
+    "q_change_feed" -> ((qChangeFeed _, qChangeFeedSql))
   )
 }
