@@ -66,7 +66,11 @@ object Engine {
       maxFilesPerTrigger: Option[Int] = None,
       saltBuckets: Int = 0,
       mode: MergeApply.MergeMode = MergeApply.MergeOnRead,
-      compactEvery: Int = 8
+      compactEvery: Int = 8,
+      // post-commit hook per applied batch — e.g. StepDag.run for continuous
+      // materialized-view maintenance (downstream incremental steps consume
+      // the change feed right after each micro-batch commit)
+      onBatch: MergeApply.MergeStats => Unit = _ => ()
   ): StreamingQuery = {
     var reader = spark.readStream.schema(eventSchema)
     maxFilesPerTrigger.foreach(n =>
@@ -84,6 +88,7 @@ object Engine {
         if (!stats.skipped && mode == MergeApply.MergeOnRead &&
           compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           MergeApply.compact(spark, table)
+        if (!stats.skipped) onBatch(stats)
         ()
       }
       .start()

@@ -112,6 +112,43 @@ class DagSpec extends SparkSpec {
     assert(r3.executed == Seq("derived/tokens") && fullRuns == 2)
   }
 
+  test("continuous materialized view: stream onBatch keeps the derived step in sync") {
+    import graft.cdc.{Engine, EventGen}
+    import graft.graph.IncrementalSpec
+    val store = tmpDir("dag-stream")
+    val cfg = EventGen.Config(nEvents = 6000, nUrls = 400, seed = 31, parallelism = 4)
+    val walDir = tmpDir("dag-wal")
+    EventGen.writeWalSegments(spark, cfg, walDir, 3)
+    val src = Engine.createPagesTable(s"$store/pages", numBuckets = 4)
+
+    var fullRuns = 0
+    val tokens = Step("derived/tokens", Seq("pages"), "v1",
+      run = (_, in) => { fullRuns += 1
+        in("pages").select(col("url"),
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok")) },
+      incremental = Some(IncrementalSpec("pages",
+        mapChanges = (_, feed, _) => feed.select(
+          col("_lsn").as("lsn"), col("_op").as("op"), col("url"),
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok")))))
+    val dag = new StepDag(Seq(graft.graph.Step.external("pages"), tokens), store)
+
+    // every micro-batch commit triggers dag maintenance: the first batch is
+    // the full seed build, every later batch is a change-feed increment
+    val q = Engine.runStream(spark, walDir, tmpDir("dag-ckpt"), src,
+      maxFilesPerTrigger = Some(4), compactEvery = 0,
+      onBatch = _ => dag.run(spark))
+    q.awaitTermination()
+
+    assert(fullRuns == 1) // seeded once, then maintained incrementally
+    val out = dag.table("derived/tokens").read(spark)
+      .select("url", "n_tok").as[(String, Long)].collect().toMap
+    val expected = src.read(spark)
+      .select(col("url"),
+        org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[(String, Long)].collect().toMap
+    assert(out == expected && out.nonEmpty)
+  }
+
   test("cycles and missing deps are rejected") {
     val bad = new StepDag(Seq(
       Step("x", Seq("y"), "v", (_, _) => null),
