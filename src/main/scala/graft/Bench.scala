@@ -221,6 +221,26 @@ object Bench {
     cdcNode.put("probe_seconds", r3(probeSec))
     cdcNode.put("probe_events_per_sec", r1d(nEvents / probeSec))
     cdcNode.put("cpus", cpus.toInt)
+
+    // incremental downstream recompute: derived-step full build vs
+    // change-feed consumption of a 100-event change (cost O(changes) —
+    // flat in base size; see BASELINE.md)
+    val incStore = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(benchRoot), "incb").toString
+    try {
+      val (fullSec, incSec, rows) =
+        IncBench.measure(spark, incStore, 500000L, 100)
+      val incNode = rootNode.putObject("incremental")
+      incNode.put("base_events", 500000L)
+      incNode.put("change_events", 100)
+      incNode.put("derived_rows", rows)
+      incNode.put("full_build_sec", r3(fullSec))
+      incNode.put("incremental_sec", r3(incSec))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(incStore)
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    }
+
     println(mapper.writeValueAsString(rootNode))
     spark.stop()
   }
