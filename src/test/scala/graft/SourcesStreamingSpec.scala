@@ -76,6 +76,38 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(b2.columns.toSeq == Seq("k", "n", "x"))
   }
 
+  test("xlsx reader: shared/inline strings, numbers, booleans, blanks, entities") {
+    import graft.sources.ExcelIO
+    // a real .xlsx is a ZIP of XML parts — plant one with the JDK zip writer
+    val path = tmpDir("xlsx") + "/t.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><t>name</t></si><si><t>qty</t></si>""" +
+        """<si><t>alpha</t></si><si><t>beta &amp; &lt;xml&gt;</t></si>""" +
+        """<si><r><t>rich</t></r><r><t>-text</t></r></si></sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>""" +
+        """<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>3.5</v></c></row>""" +
+        """<row r="3"><c r="A3" t="s"><v>3</v></c></row>""" + // blank qty
+        """<row r="4"><c r="A4" t="s"><v>4</v></c><c r="B4" t="b"><v>1</v></c></row>""" +
+        """<row r="5"><c r="A5" t="inlineStr"><is><t>inline</t></is></c><c r="B5"><v>7</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zos.close()
+    val df = ExcelIO.read(spark, path)
+    assert(df.columns.toSeq == Seq("name", "qty"))
+    val rows = df.as[(String, Option[String])].collect().toSeq
+    assert(rows == Seq(
+      ("alpha", Some("3.5")),
+      ("beta & <xml>", None),          // XML entities decoded; blank → null
+      ("rich-text", Some("true")),     // rich-text runs concatenated; bool
+      ("inline", Some("7"))))          // inline string, no shared table hit
+  }
+
   test("math funcs: bard, sig figs, power of ten") {
     val df = Seq((100.0, 101.0), (0.0, 0.0), (12345.0, 12345.0))
       .toDF("a", "b")
