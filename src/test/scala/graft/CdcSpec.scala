@@ -169,6 +169,21 @@ class CdcSpec extends SparkSpec {
           mode = mode)
       }
       assert(checksum(table.read(spark)) == golden, s"mode=$mode")
+
+      // change-feed property (MOR): the full-window feed, LWW-reduced
+      // (tombstone-aware), equals the table state under the SAME arbitrary
+      // split — the downstream-incremental-consumer correctness contract
+      if (mode == MergeApply.MergeOnRead) {
+        import org.apache.spark.sql.functions.{col, max_by, struct}
+        val feed = table.changesBetween(spark, 0L,
+          table.metadata.currentSnapshotId.get)
+        val reduced = feed.groupBy("url")
+          .agg(max_by(struct(col("_op"), col("text"), col("_lsn")), col("_lsn")).as("w"))
+          .filter(col("w._op") =!= "D")
+          .select(col("url"), col("w.text").as("text"))
+        val state = table.read(spark).select("url", "text")
+        assert(reduced.except(state).isEmpty && state.except(reduced).isEmpty)
+      }
     }
   }
 
