@@ -76,8 +76,15 @@ object Ann {
 
   /** LSH-bucketed ANN: queries only compare against targets in the same
     * sign-bit bucket — the scale path (equi-join on bucket id; each bucket
-    * holds ~|T|/2^planes candidates). Recall can be raised by probing
-    * neighboring buckets; this implements single-probe. */
+    * holds ~|T|/2^planes candidates).
+    *
+    * `multiProbe = true` raises recall by ALSO probing every bucket at
+    * Hamming distance 1 from the query's bucket (flip each sign bit —
+    * vectors near a hyperplane land on either side): the QUERY side fans
+    * out ×(planes+1) (queries are the small broadcast side, so the fan-out
+    * is cheap); the corpus is still touched only in the probed buckets. A
+    * target matches a query through at most one key, so no pair dedup is
+    * needed. */
   def lshTopK(
       queries: DataFrame,
       targets: DataFrame,
@@ -85,10 +92,16 @@ object Ann {
       vecCol: String,
       k: Int,
       dim: Int,
-      planes: Int = 4
+      planes: Int = 4,
+      multiProbe: Boolean = false
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+    val qBase = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), dim, planes).as("bucket"))
+    val q =
+      if (!multiProbe) qBase
+      else qBase.withColumn("bucket", explode(array(
+        (col("bucket") +: (0 until planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1 << p)))): _*)))
     val t = targets.select(col(idCol).as("tid"), col(vecCol).as("tv"),
       lshBucket(col(vecCol), dim, planes).as("bucket"))
     val scored = t.join(broadcast(q), Seq("bucket"))

@@ -223,6 +223,21 @@ class TrainOpsSpec extends SparkSpec {
         "embedding", 5, 8, 4)
       .as[(Long, Long, Double)].collect()
     assert(found.map(_._2).contains(1L))
+
+    // multi-probe recall dominance: on a seeded random corpus, probing the
+    // flip-one-bit neighbor buckets never loses candidates — each query's
+    // best-cosine result is >= the single-probe one, and total candidates
+    // can only grow
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 80L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val qs = corpus.filter($"vec_id" < 5)
+    def bestCos(multiProbe: Boolean): Map[Long, Double] =
+      Ann.lshTopK(qs, corpus, "vec_id", "embedding", 1, 8, 4, multiProbe)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val single = bestCos(false); val multi = bestCos(true)
+    assert(single.keySet.subsetOf(multi.keySet)) // multi never loses a query
+    single.foreach { case (q, c) => assert(multi(q) >= c) }
   }
 
   test("text analysis: langId, quality, token counts, fingerprint") {
