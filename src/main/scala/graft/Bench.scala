@@ -52,8 +52,10 @@ object Bench {
     // vs 0.9 s for an identical-shape query in round 1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     if (!skipQueries) {
-      // one of each execution shape: codegen agg/join, window, HOF+explode
-      for (w <- Seq("q1_agg", "q_rolling", "q_ngram_jaccard")) {
+      // one of each execution shape: codegen agg/join, window, HOF+explode,
+      // iterative localCheckpoint loop, engine replay (lake write+read)
+      for (w <- Seq("q1_agg", "q_rolling", "q_ngram_jaccard",
+        "q_dup_clusters", "q_cdc_merge")) {
         try SparkEntry.queries(w)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

@@ -17,7 +17,8 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("WARN")
 
     val picks = Seq("q_scan_filter", "q1_agg", "q_join_agg", "q_semi_join",
-      "q_rolling", "q_dedup_exact", "q_ann_topk")
+      "q_rolling", "q_dedup_exact", "q_ann_topk",
+      "q_simhash_pairs", "q_dup_clusters", "q_contamination")
     for (name <- picks) {
       println(s"\n======== $name ========")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
