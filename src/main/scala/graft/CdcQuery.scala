@@ -13,6 +13,40 @@ import org.apache.spark.sql.functions._
   */
 object CdcQuery {
 
+  /** ONE static JVM shutdown hook draining a registry of scratch paths —
+    * per-invocation hooks would accumulate a Thread in the JVM hook set on
+    * every query run (unbounded in a long-lived bench/verify session). */
+  private val scratchPaths =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private[graft] def registeredScratchCount: Int = scratchPaths.size()
+  private lazy val hookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      var p = scratchPaths.poll()
+      while (p != null) {
+        if (Files.exists(p))
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(x => Files.deleteIfExists(x))
+        p = scratchPaths.poll()
+      }
+    }))
+    true
+  }
+
+  /** tmpfs scratch when present: these queries measure the engine's compute
+    * path, not the sandbox's single shared disk. Cleanup at JVM exit (the
+    * returned frames are lazy — callers act on them later). */
+  private def newScratch(prefix: String): java.nio.file.Path = {
+    val scratchRoot =
+      if (new java.io.File("/dev/shm").isDirectory) java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val scratch = java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+    require(hookInstalled)
+    scratchPaths.add(scratch)
+    scratch
+  }
+
   def toChangeEvents(events: DataFrame): DataFrame =
     events.select(
       col("event_id").as("lsn"),
@@ -29,21 +63,7 @@ object CdcQuery {
     // merge converges to the same final state under ANY batch split
     // (CdcSpec's arbitrary-split property), so a non-contiguous split is
     // also a stronger exercise of the engine than a contiguous one
-    // lake scratch on tmpfs when present: the query measures the engine's
-    // compute path, not the sandbox's single shared disk
-    val scratchRoot =
-      if (new java.io.File("/dev/shm").isDirectory) java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    val scratch = java.nio.file.Files.createTempDirectory(scratchRoot, "cdc-query")
-    // the read is lazy — the caller acts on the returned frame later, so
-    // cleanup happens at JVM exit (tmpfs scratch must not accumulate)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(scratch))
-        Files.walk(scratch).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-    }))
+    val scratch = newScratch("cdc-query")
     val tableDir = scratch.toString + "/pages"
     val table = Engine.createPagesTable(tableDir, numBuckets = 8)
     MergeApply(spark, table, ce.filter(pmod(col("lsn"), lit(2)) === 0), batchId = 0L)
@@ -69,17 +89,7 @@ object CdcQuery {
     * exactly those rows (tombstones included). */
   def qChangeFeed(spark: SparkSession, dir: String): DataFrame = {
     val ce = toChangeEvents(Queries.t(spark, dir, "events"))
-    val scratchRoot =
-      if (new java.io.File("/dev/shm").isDirectory) java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    val scratch = java.nio.file.Files.createTempDirectory(scratchRoot, "cdc-feed")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(scratch))
-        Files.walk(scratch).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-    }))
+    val scratch = newScratch("cdc-feed")
     val table = Engine.createPagesTable(scratch.toString + "/pages", numBuckets = 8)
     MergeApply(spark, table, ce.filter(pmod(col("lsn"), lit(2)) === 0), batchId = 0L)
     MergeApply(spark, table, ce.filter(pmod(col("lsn"), lit(2)) === 1), batchId = 1L)

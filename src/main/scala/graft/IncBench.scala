@@ -25,13 +25,16 @@ object IncBench {
     cdc.MergeApply(spark, src, cdc.EventGen.events(spark, cfg).toDF, 0L,
       stepId = "cdc_ingest")
 
+    // the full build propagates the per-row upstream `_lsn` (the exact LWW
+    // seed under arbitrary batch splits — see IncrementalSpec scaladoc)
     val tokens = Step("derived/tokens", Seq("pages"), "v1",
       run = (_, in) => in("pages").select(col("url"),
-        size(split(col("text"), " ")).cast("long").as("n_tok")),
-      incremental = Some(IncrementalSpec("pages",
-        mapChanges = (_, feed, _) => feed.select(
+        size(split(col("text"), " ")).cast("long").as("n_tok"), col("_lsn")),
+      incremental = Some(IncrementalSpec.one("pages") { (_, feed, _) =>
+        feed.select(
           col("_lsn").as("lsn"), col("_op").as("op"), col("url"),
-          size(split(col("text"), " ")).cast("long").as("n_tok")))))
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      }))
     val dag = new StepDag(Seq(Step.external("pages"), tokens), store,
       numBuckets = 32)
 

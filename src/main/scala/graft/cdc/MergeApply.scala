@@ -63,6 +63,39 @@ object MergeApply {
     case _             => 0L
   }
 
+  /** Per-bucket row-count observation columns: ride the write job itself
+    * (task-side stats), so commit needs NO parquet footer reads — the
+    * driver-side serial section per batch shrinks to listing + two small
+    * JSON writes. Bucket count is bounded (≤ numBuckets ≤ a few hundred),
+    * so the extra aggregate width is trivial. */
+  private def bucketCountCols(b: Int): Seq[Column] =
+    (0 until b).map(k =>
+      sum(when(col("_bucket") === k, 1L).otherwise(0L)).as(s"__bkt$k"))
+
+  private def bucketCounts(row: Map[String, Any], b: Int): Map[Int, Long] =
+    (0 until b).map(k => k -> g(row, s"__bkt$k")).toMap
+
+  /** Auto-salt memo: per table dir, the last batch's observed duplication
+    * ratio (events / approx distinct keys). A stream's key profile is
+    * sticky, so the PREVIOUS batch's observation decides the NEXT batch's
+    * plan — zero extra jobs on the hot path. Note the broadcast dedup shape
+    * already bounds hot keys structurally (hash-agg partial aggregation
+    * collapses a flooded key to ≤1 slim row per input partition before any
+    * shuffle); salting is the second-stage defense the north_star calls
+    * for, engaged when duplication says it can pay. */
+  private val dupRatio = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  private[graft] def lastDupRatio(tableDir: String): Option[Double] =
+    Option(dupRatio.get(tableDir))
+  private[graft] def saltAutoEngaged(tableDir: String): Boolean =
+    lastDupRatio(tableDir).exists(_ >= autoSaltRatio)
+  private def autoSaltRatio: Double =
+    sys.env.getOrElse("SPARK_GRAFT_SALT_RATIO", "8.0").toDouble
+
+  private def recordDupRatio(tableDir: String, srcRow: Map[String, Any]): Unit = {
+    val events = g(srcRow, "events"); val keys = g(srcRow, "keys")
+    if (keys > 0) dupRatio.put(tableDir, events.toDouble / keys)
+  }
+
   /** LWW-dedup a batch down to one row per key.
     *
     * Shape: fixed-width `groupBy(key).agg(max(lsn))` (whole-stage-codegen
@@ -159,10 +192,16 @@ object MergeApply {
       obsSrc,
       min(col("lsn")).as("lsnMin"),
       max(col("lsn")).as("lsnMax"),
-      count(lit(1)).as("events"))
+      count(lit(1)).as("events"),
+      // duplication ratio feeds the auto-salt memo for the NEXT batch
+      approx_count_distinct(col(key)).as("keys"))
+    // auto-salt: saltBuckets == 0 consults the previous batch's duplication
+    // memo; an explicit value (>1 salted, 1 off) is always honored
+    val effectiveSalt =
+      if (saltBuckets == 0 && saltAutoEngaged(table.dir)) 16 else saltBuckets
     // CoW joins against current state and needs the __s_-prefixed dedup
     // shape; MOR dedups inside its own bucket-shuffle pipeline instead
-    lazy val source = dedupBatch(observedBatch, key, valueCols, saltBuckets)
+    lazy val source = dedupBatch(observedBatch, key, valueCols, effectiveSalt)
 
     val debugT0 = System.nanoTime()
     def dbg(label: String): Unit =
@@ -213,17 +252,18 @@ object MergeApply {
         deduped
           .observe(obsM,
             sum(when(col("_deleted"), 1).otherwise(0)).as("dels"),
-            count(lit(1)).as("rows"))
+            (count(lit(1)).as("rows") +: bucketCountCols(b)): _*)
           .sortWithinPartitions(col(key))
           .write.mode("overwrite").partitionBy("_bucket") // clobber crash debris (self-healing)
           .parquet(table.absolute(snapDirRel))
         dbg("write done")
 
-        val newFiles = table.listDataFiles(snapDirRel, cur.schemaVersion,
-          spark, kind = "delta")
-        dbg("listed files")
-        val carried = meta.currentSnapshot.map(table.filesOf).getOrElse(Nil)
         val srcRow = obsSrc.get; val mRow = obsM.get
+        val newFiles = table.listDataFiles(snapDirRel, cur.schemaVersion,
+          spark, kind = "delta", rowsByBucket = bucketCounts(mRow, b))
+        dbg("listed files")
+        recordDupRatio(table.dir, srcRow)
+        val carried = meta.currentSnapshot.map(table.filesOf).getOrElse(Nil)
         val snap = Snapshot(
           snapshotId = snapId, parentId = meta.currentSnapshotId,
           stepId = stepId, batchId = batchId,
@@ -244,7 +284,11 @@ object MergeApply {
 
       case CopyOnWrite =>
         // ---- join + rewrite touched buckets -------------------------------
-        val touched: Set[Int] = source
+        // touched buckets from the RAW batch's key column (same key set as
+        // the deduped source): a narrow column-pruned scan + partial-agg'd
+        // distinct of ≤numBuckets values — NOT the dedup agg+join plan,
+        // which would run the whole dedup twice just to learn the buckets
+        val touched: Set[Int] = batch
           .select(pmod(xxhash64(col(key)), lit(b)).cast("int").as("bkt"))
           .distinct().collect().map(_.getInt(0)).toSet
         dbg(s"touched ${touched.size} buckets")
@@ -283,20 +327,24 @@ object MergeApply {
 
         val snapId = meta.currentSnapshotId.getOrElse(0L) + 1
         val snapDirRel = s"data/snap-$snapId"
+        val obsRows = Observation(s"cow-rows-$batchId")
         classified
           .select((outCols :+ col("_action")): _*)
           .drop("_action")
+          .observe(obsRows, bucketCountCols(b).head, bucketCountCols(b).tail: _*)
           .repartition(col("_bucket"))
           .sortWithinPartitions(col(key))
           .write.mode("overwrite").partitionBy("_bucket") // clobber crash debris (self-healing)
           .parquet(table.absolute(snapDirRel))
         dbg("cow write done")
 
-        val newFiles = table.listDataFiles(snapDirRel, cur.schemaVersion, spark)
+        val srcRow = obsSrc.get; val mergeRow = obsMerge.get
+        val newFiles = table.listDataFiles(snapDirRel, cur.schemaVersion, spark,
+          rowsByBucket = bucketCounts(obsRows.get, b))
+        recordDupRatio(table.dir, srcRow)
         val carried = meta.currentSnapshot
           .map(s => table.filesOf(s).filterNot(f => touched.contains(f.bucket)))
           .getOrElse(Nil)
-        val srcRow = obsSrc.get; val mergeRow = obsMerge.get
         val snap = Snapshot(
           snapshotId = snapId, parentId = meta.currentSnapshotId,
           stepId = stepId, batchId = batchId,
@@ -345,13 +393,16 @@ object MergeApply {
 
     val snapId = snap.snapshotId + 1
     val snapDirRel = s"data/snap-$snapId"
+    val obsRows = Observation(s"compact-$snapId")
     state
+      .observe(obsRows, bucketCountCols(b).head, bucketCountCols(b).tail: _*)
       .repartition(col("_bucket"))
       .sortWithinPartitions(col(key))
       .write.mode("overwrite").partitionBy("_bucket") // clobber crash debris (self-healing)
       .parquet(table.absolute(snapDirRel))
 
-    val newFiles = table.listDataFiles(snapDirRel, meta.currentSchemaVersion, spark)
+    val newFiles = table.listDataFiles(snapDirRel, meta.currentSchemaVersion, spark,
+      rowsByBucket = bucketCounts(obsRows.get, b))
     val carried = snapFiles
       .filterNot(f => deltaBuckets.contains(f.bucket))
     val s = Snapshot(

@@ -2,7 +2,7 @@ package graft.graph
 
 import graft.lake.LakeTable
 import graft.ops.Checksums
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The step DAG (SURVEY.md §7.1 module `graph`) — the reference's compute
   * graph (/root/reference/etl/steps/__init__.py:52 `DAG`, dag/main.yml)
@@ -12,14 +12,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Semantics reproduced:
   *  - topological execution (`to_dependency_order`, steps/__init__.py:101);
   *  - content-addressed dirtiness: a step's input checksum hashes its code
-  *    version + each upstream output's snapshot id — outputs are pure
-  *    functions of inputs (`DataStep.checksum_input`,
+  *    version + metadata version + each upstream output's snapshot id —
+  *    outputs are pure functions of inputs (`DataStep.checksum_input`,
   *    steps/__init__.py:565-587); a step re-runs only when that checksum
   *    differs from the one stored in its output table's lineage
   *    (`is_dirty`, steps/__init__.py:512-532);
+  *  - INSTANT metadata-only updates (steps/__init__.py:623-665): when ONLY
+  *    the metadata version moved, the output's sidecar is re-stamped and a
+  *    metadata-only snapshot committed — zero data files rewritten;
   *  - `--force` / `--only` / `--dry-run` flags (command.py:49-163);
   *  - subgraph filtering by regex + downstream closure
-  *    (`filter_to_subgraph`, steps/__init__.py:112-172).
+  *    (`filter_to_subgraph`, steps/__init__.py:112-172);
+  *  - SUBSET dev filtering (config.py:266, steps/__init__.py:581-584): a
+  *    row-filter expression applied to every external input read, pushed
+  *    into the scans by Catalyst. Part of the input checksum, so toggling
+  *    it re-runs the affected steps.
   *
   * Each step's body builds ONE lazy DataFrame from its inputs, so Catalyst
   * sees the whole step as a single query (predicate pushdown, column
@@ -30,7 +37,12 @@ final case class Step(
     deps: Seq[String],
     codeVersion: String, // the reference's code-file checksum analogue
     run: (SparkSession, Map[String, DataFrame]) => DataFrame,
-    incremental: Option[IncrementalSpec] = None
+    incremental: Option[IncrementalSpec] = None,
+    // output-table metadata (title/units/...) + its version stamp — the
+    // analogue of the step's metadata yaml. Bumping ONLY metaVersion takes
+    // the INSTANT path: sidecar re-stamp, no data rewrite.
+    meta: Option[graft.model.TableMeta] = None,
+    metaVersion: String = ""
 )
 
 object Step {
@@ -42,23 +54,42 @@ object Step {
 }
 
 /** Downstream INCREMENTAL recompute — the CDC payoff the reference lacks
-  * (it re-runs whole steps): when only `changeDep` moved since the step's
-  * last build, the step consumes `changeDep`'s CHANGE FEED
+  * (it re-runs whole steps): when only `changeDeps` moved since the step's
+  * last build, the step consumes each change-dep's CHANGE FEED
   * (LakeTable.changesBetween — cost O(changes), never the base table) and
   * LWW merge-applies the mapped change events into its output table.
   *
-  * `mapChanges(spark, feed, otherDeps)` receives the feed (upstream rows +
-  * `_op`/`_snapshot_id`) and full frames of the OTHER deps (dimension
-  * lookups), and must return change events shaped
+  * `mapChanges(spark, feeds, otherDeps)` receives one feed per change-dep
+  * (upstream rows + `_op`/`_snapshot_id`; EMPTY frame for a dep that did
+  * not move) and full frames of the OTHER deps (dimension lookups), and
+  * must return change events shaped
   * `(lsn long, op 'U'|'D', <key>, value columns of the step's output)` —
-  * a deleted upstream key maps to a 'D' event. Any other change (code
-  * version, another dep, first build) falls back to the full `run` +
-  * rewrite, so incremental is purely an optimization, never a semantics
-  * change. */
+  * a deleted upstream key maps to a 'D' event. Any other change (code or
+  * metadata version, a non-feed dep, first build) falls back to the full
+  * `run` + rewrite, so incremental is purely an optimization, never a
+  * semantics change.
+  *
+  * LWW seeding contract: on a FULL build, each output row is seeded with
+  * the step's own `_lsn` column when `run` provides one (per-row upstream
+  * LSN — for 1:1 transforms `col("_lsn")`, for aggregations
+  * `max(col("_lsn"))` over contributing rows), else with the change-deps'
+  * high-watermark LSN. The per-row form is exact under ARBITRARY
+  * out-of-order batch splits; the watermark fallback is exact when the
+  * upstream WAL commits LSN-monotonic batches (the binlog contract). */
 final case class IncrementalSpec(
-    changeDep: String,
-    mapChanges: (SparkSession, DataFrame, Map[String, DataFrame]) => DataFrame
+    changeDeps: Seq[String],
+    mapChanges: (SparkSession, Map[String, DataFrame], Map[String, DataFrame]) => DataFrame
 )
+
+object IncrementalSpec {
+  /** Single change-dep convenience (the common shape). */
+  def one(changeDep: String)(
+      mapChanges: (SparkSession, DataFrame, Map[String, DataFrame]) => DataFrame
+  ): IncrementalSpec =
+    IncrementalSpec(Seq(changeDep),
+      (s: SparkSession, feeds: Map[String, DataFrame], others: Map[String, DataFrame]) =>
+        mapChanges(s, feeds(changeDep), others))
+}
 
 final case class RunReport(
     executed: Seq[String],
@@ -66,7 +97,11 @@ final case class RunReport(
     order: Seq[String]
 )
 
-class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8) {
+class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
+    // SUBSET dev filter (config.py:266): SQL boolean expression applied to
+    // every EXTERNAL input read (missing columns → the filter is skipped
+    // for that table). Dev-mode only; part of the input checksum.
+    subset: Option[String] = None) {
   private val byId = steps.map(s => s.id -> s).toMap
   require(byId.size == steps.size, "duplicate step ids")
 
@@ -124,26 +159,39 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8) {
   def tableDir(id: String): String = s"$storeDir/${id.replace('/', '_')}"
   def table(id: String): LakeTable = new LakeTable(tableDir(id))
 
-  /** A step's input checksum: code version + upstream snapshot ids
-    * (checksum_input analogue — Merkle through the DAG because upstream
-    * snapshot ids themselves advance only when their inputs changed). */
-  private def inputChecksum(id: String): String =
-    inputChecksumPinned(id, Map.empty)
+  /** The output table's metadata sidecar (written by full builds, INSTANT
+    * commits re-stamp it in place). */
+  def tableMeta(spark: SparkSession, id: String): Option[graft.model.TableMeta] =
+    scala.util.Try(
+      graft.sources.TableIO.readSidecar(spark, s"${tableDir(id)}/metadata")._1).toOption
 
-  /** Input checksum with some deps PINNED to given snapshot ids — used to
-    * test whether ONLY the incremental change-dep moved (pin it to the
-    * stored snapshot: equality with the stored checksum means nothing else
-    * changed). */
-  private def inputChecksumPinned(id: String, pin: Map[String, Long]): String = {
-    val s = byId(id)
-    val parts = s.codeVersion +: s.deps.sorted.map { d =>
-      val sid = pin.getOrElse(d, {
-        val t = table(d)
-        if (t.exists) t.metadata.currentSnapshotId.getOrElse(-1L) else -1L
-      })
-      s"$d=$sid"
-    }
+  private def currentSnapshotIdOf(d: String): Long = {
+    val t = table(d)
+    if (t.exists) t.metadata.currentSnapshotId.getOrElse(-1L) else -1L
+  }
+
+  /** The DATA half of a step's input checksum from EXPLICIT upstream
+    * snapshot ids: code version + subset filter + each dep's id (Merkle
+    * through the DAG because upstream snapshot ids themselves advance only
+    * when their inputs changed). */
+  private def dataChecksumFrom(s: Step, ids: Map[String, Long]): String = {
+    val parts = (s.codeVersion + subset.fold("")("|subset=" + _)) +:
+      s.deps.sorted.map(d => s"$d=${ids(d)}")
     Checksums.md5Hex(parts.mkString("|"))
+  }
+
+  /** Composite stored checksum: `<dataChecksum>:<metaChecksum>`. A data-part
+    * mismatch re-runs the step; a meta-part-only mismatch takes the INSTANT
+    * path (steps/__init__.py:623-665). */
+  private def checksumFrom(s: Step, ids: Map[String, Long]): String =
+    s"${dataChecksumFrom(s, ids)}:${Checksums.md5Hex(s.metaVersion)}"
+
+  private def currentDepIds(s: Step): Map[String, Long] =
+    s.deps.map(d => d -> currentSnapshotIdOf(d)).toMap
+
+  private def inputChecksum(id: String): String = {
+    val s = byId(id)
+    checksumFrom(s, currentDepIds(s))
   }
 
   def isDirty(id: String): Boolean = {
@@ -172,8 +220,8 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8) {
       val dirty = s.run != null && (force || isDirty(id))
       if (!dirty) skipped += id
       else if (!dryRun) {
-        if (!runIncrementalIfPossible(spark, id)) {
-          val inputs = s.deps.map(d => d -> table(d).read(spark)).toMap
+        if (!runInstantIfPossible(spark, id) && !runIncrementalIfPossible(spark, id)) {
+          val inputs = s.deps.map(d => d -> readInput(spark, d)).toMap
           val out = s.run(spark, inputs)
           writeOutput(spark, id, out)
         }
@@ -183,47 +231,139 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8) {
     RunReport(executed.toSeq, skipped.toSeq, order)
   }
 
+  /** External-input read with the SUBSET dev filter applied when its
+    * columns resolve (config.py:266 — regex/row dev filters pushed into
+    * the scan by Catalyst). */
+  private def readInput(spark: SparkSession, d: String): DataFrame = {
+    val df = table(d).read(spark)
+    subset match {
+      case Some(expr) =>
+        try df.filter(org.apache.spark.sql.functions.expr(expr))
+        catch { case _: org.apache.spark.sql.AnalysisException => df }
+      case None => df
+    }
+  }
+
+  /** INSTANT path (steps/__init__.py:623-665): output exists, the DATA part
+    * of the checksum is unchanged, only the metadata version moved →
+    * re-stamp the sidecar and commit a metadata-only snapshot that carries
+    * every data file forward. Zero data IO; downstream steps still see a
+    * new snapshot id (metadata edits cascade, as in the reference). */
+  private def runInstantIfPossible(spark: SparkSession, id: String): Boolean = {
+    val s = byId(id)
+    val t = table(id)
+    if (!t.exists || t.metadata.currentSnapshotId.isEmpty) return false
+    val cur = t.metadata.currentSnapshot.get
+    val stored = cur.inputChecksum.getOrElse(return false)
+    val ids = currentDepIds(s)
+    if (!stored.startsWith(dataChecksumFrom(s, ids) + ":")) return false
+    val fresh = checksumFrom(s, ids)
+    if (stored == fresh) return false // not dirty at all (caller guards)
+    s.meta.foreach(m =>
+      graft.sources.TableIO.writeSidecar(s"${tableDir(id)}/metadata", m, "lake"))
+    val meta = t.metadata
+    val snapId = meta.currentSnapshotId.get + 1
+    val snap = graft.lake.Snapshot(
+      snapshotId = snapId, parentId = meta.currentSnapshotId,
+      stepId = id, batchId = snapId,
+      lsnMin = -1, lsnMax = -1,
+      rowsInserted = 0, rowsUpdated = 0, rowsDeleted = 0,
+      schemaVersion = cur.schemaVersion,
+      files = t.filesOf(cur), // carried forward — no data rewrite
+      inputSnapshots = ids,
+      inputChecksum = Some(fresh))
+    t.commit(meta.copy(version = meta.version + 1,
+      currentSnapshotId = Some(snapId), snapshots = meta.snapshots :+ snap))
+    true
+  }
+
   /** Incremental path: applies when the step has an IncrementalSpec, its
-    * output exists, and pinning the change-dep to the PREVIOUSLY-consumed
-    * snapshot reproduces the stored input checksum (proving code + all
-    * other deps are unchanged — only the change-dep moved). Consumes the
-    * change feed and LWW merge-applies the mapped events. Returns false →
-    * caller takes the full-rebuild path. */
+    * output exists, and pinning every change-dep to the PREVIOUSLY-consumed
+    * snapshot reproduces the stored input checksum (proving code, metadata
+    * and all other deps are unchanged — only change-deps moved). Consumes
+    * each moved dep's change feed and LWW merge-applies the mapped events.
+    * Returns false → caller takes the full-rebuild path; any feed failure
+    * (retention window exceeded, upstream rebuilt/CoW-committed) degrades
+    * to false as well — incremental is an optimization, never a crash. */
   private def runIncrementalIfPossible(spark: SparkSession, id: String): Boolean = {
     val s = byId(id)
     val inc = s.incremental.getOrElse(return false)
     val t = table(id)
     if (!t.exists || t.metadata.currentSnapshotId.isEmpty) return false
     val cur = t.metadata.currentSnapshot.get
-    val lastConsumed = cur.inputSnapshots.get(inc.changeDep).getOrElse(return false)
     val stored = cur.inputChecksum.getOrElse(return false)
-    if (inputChecksumPinned(id, Map(inc.changeDep -> lastConsumed)) != stored)
-      return false // something besides the change-dep moved → full rebuild
-    val upstream = table(inc.changeDep)
-    val to = upstream.metadata.currentSnapshotId.getOrElse(return false)
-    val feed = upstream.changesBetween(spark, lastConsumed, to)
-    val others = s.deps.filterNot(_ == inc.changeDep)
-      .map(d => d -> table(d).read(spark)).toMap
-    val events = inc.mapChanges(spark, feed, others)
-    graft.cdc.MergeApply(spark, t, events,
-      batchId = to, stepId = s"step:$id",
-      inputSnapshots = s.deps.map(d =>
-        d -> table(d).metadata.currentSnapshotId.getOrElse(-1L)).toMap,
-      inputChecksum = Some(inputChecksum(id)))
-    true
+    val lastConsumed: Map[String, Long] = inc.changeDeps.map { d =>
+      d -> cur.inputSnapshots.getOrElse(d, return false)
+    }.toMap
+    // capture EVERY dep's snapshot id exactly once: the same ids drive the
+    // gate, the feed windows, and the committed lineage — a concurrent
+    // upstream commit after this point is simply the next run's work, never
+    // silently marked consumed (the re-read race the lineage must not have)
+    val otherIds: Map[String, Long] = s.deps.filterNot(inc.changeDeps.contains)
+      .map(d => d -> currentSnapshotIdOf(d)).toMap
+    val changeToIds: Map[String, Long] = inc.changeDeps.map { d =>
+      val t2 = table(d)
+      d -> (if (t2.exists) t2.metadata.currentSnapshotId.getOrElse(return false)
+            else return false)
+    }.toMap
+    if (checksumFrom(s, lastConsumed ++ otherIds) != stored)
+      return false // something besides the change-deps moved → full rebuild
+    try {
+      val feeds: Map[String, DataFrame] = inc.changeDeps.map { d =>
+        d -> table(d).changesBetween(spark, lastConsumed(d), changeToIds(d))
+      }.toMap
+      val others = s.deps.filterNot(inc.changeDeps.contains)
+        .map(d => d -> readInput(spark, d)).toMap
+      val events = inc.mapChanges(spark, feeds, others)
+      val consumed = changeToIds ++ otherIds
+      graft.cdc.MergeApply(spark, t, events,
+        // sum of consumed change-dep snapshot ids: strictly increasing
+        // whenever any feed moved — a monotone batchId for the ledger
+        batchId = changeToIds.values.sum, stepId = s"step:$id",
+        inputSnapshots = consumed,
+        inputChecksum = Some(checksumFrom(s, consumed)))
+      true
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // e.g. change window beyond the retained log, or an upstream full
+        // rebuild / CoW commit whose added files are not deltas — the
+        // documented contract degrades to a full rebuild, it never kills a
+        // dag.run (or the streaming query driving it via onBatch)
+        System.err.println(
+          s"[graft] incremental path for step $id unavailable " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); full rebuild")
+        false
+    }
   }
+
+  /** High-watermark LSN across the change-deps' retained snapshot logs —
+    * the full-build seed when the step does not propagate `_lsn` itself. */
+  private def seedLsn(s: Step): Long =
+    s.incremental.map(_.changeDeps.flatMap { d =>
+      val t = table(d)
+      if (t.exists) t.metadata.snapshots.map(_.lsnMax) else Nil
+    }).getOrElse(Nil).foldLeft(0L)(math.max)
 
   private def writeOutput(spark: SparkSession, id: String, df0: DataFrame): Unit = {
     import graft.lake._
     import org.apache.spark.sql.functions._
     val t = table(id)
-    val isIncremental = byId(id).incremental.isDefined
-    // incremental steps' outputs are LWW tables (merge-apply target): the
-    // full build seeds every row at LSN 0, not deleted
+    val step = byId(id)
+    val isIncremental = step.incremental.isDefined
+    // incremental steps' outputs are LWW tables (merge-apply target). The
+    // full build seeds each row's LSN with the step's own `_lsn` column when
+    // provided (per-row upstream LSN — exact under out-of-order feeds), else
+    // the change-deps' high-watermark (exact under LSN-monotonic commits).
+    // Never 0: a seed below already-reflected events would let a stale feed
+    // event overwrite newer seeded state.
     val df =
-      if (isIncremental)
-        df0.withColumn("_lsn", lit(0L)).withColumn("_deleted", lit(false))
-      else df0
+      if (isIncremental) {
+        val seeded =
+          if (df0.columns.contains("_lsn")) df0
+          else df0.withColumn("_lsn", lit(seedLsn(step)))
+        if (seeded.columns.contains("_deleted")) seeded
+        else seeded.withColumn("_deleted", lit(false))
+      } else df0
     if (!t.exists) {
       val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
         LakeField(i + 1, f.name, f.dataType.sql.toLowerCase, f.nullable)
@@ -241,6 +381,7 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8) {
       .write.mode("overwrite").partitionBy("_bucket") // clobber crash debris (self-healing)
       .parquet(t.absolute(snapDirRel))
     val files = t.listDataFiles(snapDirRel, meta.currentSchemaVersion, spark)
+    val ids = currentDepIds(step)
     val snap = Snapshot(
       snapshotId = snapId, parentId = meta.currentSnapshotId,
       stepId = id, batchId = snapId,
@@ -248,11 +389,11 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8) {
       rowsInserted = 0, rowsUpdated = 0, rowsDeleted = 0,
       schemaVersion = meta.currentSchemaVersion,
       files = files,
-      inputSnapshots = byId(id).deps.map(d =>
-        d -> (if (table(d).exists)
-          table(d).metadata.currentSnapshotId.getOrElse(-1L) else -1L)).toMap,
-      inputChecksum = Some(inputChecksum(id)))
+      inputSnapshots = ids,
+      inputChecksum = Some(checksumFrom(step, ids)))
     t.commit(meta.copy(version = meta.version + 1,
       currentSnapshotId = Some(snapId), snapshots = meta.snapshots :+ snap))
+    step.meta.foreach(m =>
+      graft.sources.TableIO.writeSidecar(s"${tableDir(id)}/metadata", m, "lake"))
   }
 }

@@ -394,22 +394,23 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
       case Some(t) => when(coalesce(col(t), lit(false)), lit("D")).otherwise(lit("U"))
       case None    => lit("U")
     }
-    val frames = window.flatMap { s =>
-      if (s.batchId < 0) None // compaction: physical rewrite, no logical change
+    // ONE scan of all added delta files across the window (O(1) plan nodes
+    // for any window size, not one DataFrame per snapshot unioned):
+    // `_snapshot_id` is recovered from the file path — every file added by
+    // snapshot s lives under its own `data/snap-<s>/` dir by construction.
+    val added: Seq[DataFile] = window.flatMap { s =>
+      if (s.batchId < 0) Nil // compaction: physical rewrite, no logical change
       else {
         val parentPaths = s.parentId.flatMap(byId.get)
           .map(p => filesOf(p).map(_.path).toSet).getOrElse(Set.empty[String])
-        val added = filesOf(s).filterNot(f => parentPaths.contains(f.path))
-        require(added.forall(_.kind == "delta"),
+        val files = filesOf(s).filterNot(f => parentPaths.contains(f.path))
+        require(files.forall(_.kind == "delta"),
           s"snapshot ${s.snapshotId} is a copy-on-write commit — the change " +
             "feed requires merge-on-read commits (added files must be deltas)")
-        if (added.isEmpty) None
-        else Some(readRaw(spark, m, added)
-          .withColumn("_op", op)
-          .withColumn("_snapshot_id", lit(s.snapshotId)))
+        files
       }
     }
-    frames.reduceOption(_ unionByName _).getOrElse {
+    if (added.isEmpty) {
       val schema = org.apache.spark.sql.types.StructType(
         m.currentSchema.toStruct.fields :+
           org.apache.spark.sql.types.StructField("_op",
@@ -418,12 +419,20 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
             org.apache.spark.sql.types.LongType, nullable = false))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
+    } else
+      readRaw(spark, m, added,
+        extra = Seq(
+          op.as("_op"),
+          regexp_extract(input_file_name(), "/snap-(\\d+)/", 1)
+            .cast("long").as("_snapshot_id")))
   }
 
   /** Raw rows of the given files projected to the current schema by
-    * field-ID — no reconciliation (the compaction/merge input path). */
-  def readRaw(spark: SparkSession, m: TableMetadata, files: Seq[DataFile]): DataFrame = {
+    * field-ID — no reconciliation (the compaction/merge input path).
+    * `extra` columns are appended INSIDE the scan's stage (so expressions
+    * like `input_file_name()` still see the originating file). */
+  def readRaw(spark: SparkSession, m: TableMetadata, files: Seq[DataFile],
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val cur = m.currentSchema
     if (files.isEmpty)
       return spark.createDataFrame(
@@ -442,7 +451,11 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
           case None      => lit(null).cast(DataType.fromDDL(f.dtype)).as(f.name)
         }
       }
-      df.select(projection: _*)
+      // extras resolve against CURRENT names → second select on top of the
+      // ID-remap projection (still the same stage as the scan)
+      val projected = df.select(projection: _*)
+      if (extra.isEmpty) projected
+      else projected.select(col("*") +: extra: _*)
     }.reduce(_.unionByName(_))
   }
 
@@ -451,12 +464,18 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
     pmod(xxhash64(col(keyCol)), lit(metadata.numBuckets)).cast("int")
 
   /** List parquet files under a snapshot data dir, with bucket parsed from
-    * the `_bucket=<k>` partition dir and the row count read from the parquet
-    * footer (driver-side metadata read, one small IO per file — file count
-    * per commit is bounded by numBuckets). Per-file row counts are the
-    * per-partition lineage metric recorded in each snapshot's manifest. */
+    * the `_bucket=<k>` partition dir. Per-file row counts are the
+    * per-partition lineage metric recorded in each snapshot's manifest.
+    *
+    * `rowsByBucket` carries TASK-SIDE counts observed during the write
+    * itself (an `Observation` riding the write job): when a bucket maps to
+    * exactly one file — the invariant `repartition(_bucket)` guarantees —
+    * its count is used directly and commit does ZERO parquet footer IO,
+    * keeping the per-batch driver serial section to a listing plus two
+    * small JSON writes. Buckets outside the map (or split across files)
+    * fall back to concurrent footer reads. */
   def listDataFiles(snapDirRel: String, schemaVersion: Int, spark: SparkSession,
-      kind: String = "base"): Seq[DataFile] = {
+      kind: String = "base", rowsByBucket: Map[Int, Long] = Map.empty): Seq[DataFile] = {
     val snapDir = new Path(root, snapDirRel)
     if (!fs.exists(snapDir)) return Nil
     val it = fs.listFiles(snapDir, true)
@@ -465,6 +484,11 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
       val p = it.next().getPath
       if (p.getName.endsWith(".parquet")) paths += p
     }
+    def bucketOf(p: Path): Int = p.getParent.getName match {
+      case s if s.startsWith("_bucket=") => s.stripPrefix("_bucket=").toInt
+      case _                             => -1
+    }
+    val filesPerBucket = paths.groupBy(bucketOf).view.mapValues(_.size).toMap
     // footer reads are independent driver-side IO — do them concurrently,
     // or they serialize into ~1 s per commit at 32 files (measured)
     import scala.concurrent.{Await, Future, ExecutionContext}
@@ -472,11 +496,12 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
     implicit val ec: ExecutionContext = ExecutionContext.global
     val files = paths.toSeq.map { p =>
       Future {
-        val bucket = p.getParent.getName match {
-          case s if s.startsWith("_bucket=") => s.stripPrefix("_bucket=").toInt
-          case _                             => -1
-        }
-        DataFile(relativize(p), bucket, footerRowCount(p), schemaVersion, kind)
+        val bucket = bucketOf(p)
+        val rows =
+          if (filesPerBucket.getOrElse(bucket, 0) == 1 && rowsByBucket.contains(bucket))
+            rowsByBucket(bucket)
+          else footerRowCount(p)
+        DataFile(relativize(p), bucket, rows, schemaVersion, kind)
       }
     }
     Await.result(Future.sequence(files), 120.seconds)

@@ -149,8 +149,11 @@ object MetaTable {
       shortUnit = keep(x.shortUnit, y.shortUnit),
       description = keep(x.description, y.description),
       display =
+        // drop-on-conflict for ALL ops (two different non-empty displays →
+        // None); division's special case ONLY forces None when the
+        // numerator's value is missing (indicators.py:570-575, 564-600)
         if (x.display == y.display) x.display
-        else if (division) x.display
+        else if (division && x.display.isEmpty) Map.empty
         else if (x.display.isEmpty) y.display
         else if (y.display.isEmpty) x.display
         else Map.empty,

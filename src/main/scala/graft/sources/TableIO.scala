@@ -94,8 +94,12 @@ object TableIO {
         // each file as one row (exact line order by construction); FWF files
         // with header rows are snapshot-ingest units, so the one-file-in-
         // memory bound is acceptable and documented here.
+        // strip exactly ONE trailing newline before splitting: a file ending
+        // with "\n" (the normal case) must not yield a phantom empty last
+        // line (spark.read.text emits none); interior empty lines are kept
         spark.read.option("wholetext", "true").text(path)
-          .select(posexplode(split(col("value"), "\r?\n")).as(Seq("__pos", "value")))
+          .select(posexplode(split(regexp_replace(col("value"), "\r?\n$", ""), "\r?\n"))
+            .as(Seq("__pos", "value")))
           .where(col("__pos") >= skipRows).drop("__pos")
       }
     body.select(colSpecs.map { case (name, start, end) =>

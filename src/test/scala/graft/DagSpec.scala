@@ -70,12 +70,14 @@ class DagSpec extends SparkSpec {
       run = (s, in) => {
         fullRuns += 1
         in("pages").select(col("url"),
-          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok"))
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok"),
+          col("_lsn")) // per-row LWW seed (exact under out-of-order splits)
       },
-      incremental = Some(IncrementalSpec("pages",
-        mapChanges = (s, feed, _) => feed.select(
+      incremental = Some(IncrementalSpec.one("pages") { (s, feed, _) =>
+        feed.select(
           col("_lsn").as("lsn"), col("_op").as("op"), col("url"),
-          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok")))))
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok"))
+      }))
     val dag = new StepDag(Seq(Step.external("pages"), tokenCount), store)
 
     // first build: full path (no output yet); external step never executes
@@ -125,11 +127,13 @@ class DagSpec extends SparkSpec {
     val tokens = Step("derived/tokens", Seq("pages"), "v1",
       run = (_, in) => { fullRuns += 1
         in("pages").select(col("url"),
-          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok")) },
-      incremental = Some(IncrementalSpec("pages",
-        mapChanges = (_, feed, _) => feed.select(
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok"),
+          col("_lsn")) },
+      incremental = Some(IncrementalSpec.one("pages") { (_, feed, _) =>
+        feed.select(
           col("_lsn").as("lsn"), col("_op").as("op"), col("url"),
-          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok")))))
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok"))
+      }))
     val dag = new StepDag(Seq(graft.graph.Step.external("pages"), tokens), store)
 
     // every micro-batch commit triggers dag maintenance: the first batch is
