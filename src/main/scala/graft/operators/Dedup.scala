@@ -323,15 +323,28 @@ object Dedup {
     *
     * Input: (i, j) candidate pairs (i < j). Output: (id, label) — label =
     * min id of the component; docs in no pair are singletons and simply
-    * don't appear (their label is themselves by definition). */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+    * don't appear (their label is themselves by definition).
+    *
+    * Cluster-mode contract: pass `checkpointDir` (e.g. the lake's scratch
+    * area on the shared FS) and every round's state is a RELIABLE
+    * `Dataset.checkpoint` — executor loss mid-iteration recomputes from
+    * the persisted round, not from an unrecoverable localCheckpoint block
+    * (localCheckpoint stores blocks on executors; losing one fails the
+    * job). Default (None) keeps the fast local path for single-JVM runs.
+    * Round files accumulate under the dir for the duration of the call —
+    * O(rounds × labels) bytes; the caller owns the dir's lifecycle. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val edges = ckpt(pairs.select(col("i").as("a"), col("j").as("b"))
       .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = ckpt(edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -340,12 +353,11 @@ object Dedup {
         .groupBy(col("a").as("id")).agg(min(col("bl")).as("nl"))
       // old label carried through the checkpoint so the convergence count
       // is a filter over materialized data, not another join
-      val next = labels
+      val next = ckpt(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          col("label").as("__old"))
-        .localCheckpoint(true)
+          col("label").as("__old")))
       changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.drop("__old")
       iter += 1

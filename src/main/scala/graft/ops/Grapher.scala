@@ -160,18 +160,45 @@ object Grapher {
       entityCols: Seq[String],
       dimCols: Seq[String],
       valueCols: Seq[String]
-  ): Seq[(String, DataFrame, VariableMeta)] = {
+  ): Seq[(String, DataFrame, VariableMeta)] =
+    yieldWideEntries(mt, entityCols, dimCols, valueCols)
+      .map(e => (e.shortName, e.table, e.meta))
+
+  /** One emitted grapher variable: source column, dim combo, derived short
+    * name, the long per-variable table, rendered metadata. */
+  final case class WideEntry(column: String, dims: Map[String, String],
+      shortName: String, table: DataFrame, meta: VariableMeta)
+
+  private[graft] def yieldWideEntries(
+      mt: MetaTable,
+      entityCols: Seq[String],
+      dimCols: Seq[String],
+      valueCols: Seq[String]
+  ): Seq[WideEntry] = {
     val df = mt.df
-    val combos: Seq[Map[String, String]] =
-      if (dimCols.isEmpty) Seq(Map.empty)
-      else df.select(dimCols.map(col): _*).distinct().collect().toSeq
-        .map(r => dimCols.zipWithIndex.flatMap { case (d, i) =>
-          if (r.isNullAt(i)) None else Some(d -> r.get(i).toString)
-        }.toMap)
-        .sortBy(m => dimCols.map(m.getOrElse(_, "")).mkString(" "))
+    // ONE aggregation pass yields BOTH the dim combos and each variable's
+    // non-null count per combo (the all-null skip, helpers.py:91-95) --
+    // constant job count in combos x columns, vs one eager isEmpty job per
+    // (combo, column) pair plus a distinct() collect. Result size is
+    // bounded by dimension cardinality (sex x age ...), never row count.
+    val countCols = valueCols.map(c => count(col(c)).as(s"__cnt_$c"))
+    val comboRows: Seq[(Map[String, String], Map[String, Long])] =
+      (if (dimCols.isEmpty)
+        df.agg(countCols.head, countCols.tail: _*).collect().toSeq
+      else
+        df.groupBy(dimCols.map(col): _*)
+          .agg(countCols.head, countCols.tail: _*).collect().toSeq)
+        .map { r =>
+          val dims = dimCols.zipWithIndex.flatMap { case (d, i) =>
+            if (r.isNullAt(i)) None else Some(d -> r.get(i).toString)
+          }.toMap
+          val cnts = valueCols.map(c => c -> r.getLong(r.fieldIndex(s"__cnt_$c"))).toMap
+          (dims, cnts)
+        }
+        .sortBy { case (m, _) => dimCols.map(m.getOrElse(_, "")).mkString("\u0000") }
     val isJinja = (s: String) => s.contains("{{") || s.contains("{%")
     val out = for {
-      dims <- combos
+      (dims, nonNullCounts) <- comboRows
       c <- valueCols
       subset = dimCols.foldLeft(df) { (d, dc) =>
         dims.get(dc) match {
@@ -179,7 +206,7 @@ object Grapher {
           case None    => d.filter(col(dc).isNull)
         }
       }
-      if !subset.select(c).where(col(c).isNotNull).isEmpty // skip all-null variables
+      if nonNullCounts(c) > 0 // skip all-null variables -- no extra job
     } yield {
       val orderedDims = dimCols.flatMap(d => dims.get(d).map(d -> _))
       val shortName = (Names.underscore(c) +: orderedDims.map { case (d, v) =>
@@ -204,14 +231,14 @@ object Grapher {
         display = titled.display.map { case (k, v) =>
           k -> MetaLayering.render(v, dims)
         })
-      (shortName, long, rendered)
+      WideEntry(c, dims, shortName, long, rendered)
     }
     def assertUnique(what: String, vs: Seq[String]): Unit = {
       val dups = vs.groupBy(identity).collect { case (v, g) if g.size > 1 => v }
       require(dups.isEmpty, s"Duplicate variable $what: ${dups.toSeq.sorted}")
     }
-    assertUnique("short names", out.map(_._1))
-    assertUnique("titles", out.flatMap(_._3.title))
+    assertUnique("short names", out.map(_.shortName))
+    assertUnique("titles", out.flatMap(_.meta.title))
     out
   }
 
@@ -243,5 +270,87 @@ object Grapher {
     require(Names.isValid(variable), s"invalid variable name: $variable")
     spark.read.parquet(s"$outDir/variable=$variable")
       .withColumnRenamed("value", variable)
+  }
+
+  /** End-to-end grapher publish — `GrapherStep.run`
+    * (/root/reference/etl/steps/__init__.py:999-1129): adapt the table
+    * (entity resolution, dates), fan out per-variable tables with rendered
+    * per-dim-combo metadata, then publish with
+    *  - ONE distributed write for ALL variables: the source is melted once
+    *    (codegen'd Expand — no per-variable scan), short names resolved via
+    *    a bounded literal map keyed on (column, dim values), and the long
+    *    frame written `partitionBy(variable)` with DYNAMIC overwrite (only
+    *    re-emitted variables' dirs are replaced);
+    *  - a metadata sidecar per variable dir (the data_values + variables
+    *    upsert of grapher/to_db.py:209-420);
+    *  - GHOST cleanup (to_db.py:416): variable dirs from a previous publish
+    *    that are no longer emitted are deleted, so re-publishing after a
+    *    column/dim removal leaves no stale variable behind.
+    * Idempotent: re-publishing the same table converges to the same dirs.
+    * Value columns must share a numeric type (melt casts to the common
+    * type; grapher indicators are numeric). Returns emitted short names. */
+  def publish(
+      mt: MetaTable,
+      entities: DataFrame,
+      outDir: String,
+      dimCols: Seq[String] = Nil
+  ): Seq[String] = {
+    val spark = mt.df.sparkSession
+    val adapted = adaptTableForGrapher(mt, entities)
+    val entityCols = Seq("entityId", "entityCode", "entityName", "year")
+      .filter(adapted.df.columns.contains)
+    val valueCols = adapted.df.columns.toSeq
+      .filterNot(c => entityCols.contains(c) || dimCols.contains(c))
+    val entries = yieldWideEntries(adapted, entityCols, dimCols, valueCols)
+
+    // bounded (variables × combos) literal map: (column + dim values) →
+    // short name; all-null variables have no key and melt rows for them
+    // resolve to null → filtered. O(1)-depth lookup (try_element_at on a
+    // literal map), never a when-chain.
+    val Sep = "\u0001"
+    val NullMark = "\u0000null"
+    val keyOf: (String, Map[String, String]) => String = (c, dims) =>
+      (c +: dimCols.map(d => dims.getOrElse(d, NullMark))).mkString(Sep)
+    val nameByKey: Map[String, String] =
+      entries.map(e => keyOf(e.column, e.dims) -> e.shortName).toMap
+    val keyExpr = concat_ws(Sep,
+      (col("__col") +: dimCols.map(d =>
+        coalesce(col(d).cast("string"), lit(NullMark)))): _*)
+    val long = Reshape.melt(adapted.df, entityCols ++ dimCols, valueCols,
+        varName = "__col", valueName = "value")
+      .where(col("value").isNotNull)
+      .withColumn("variable", try_element_at(typedLit(nameByKey), keyExpr))
+      .where(col("variable").isNotNull)
+      .select((entityCols.map(col) :+ col("variable") :+ col("value")): _*)
+    long
+      .repartition(col("variable"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("variable")
+      .parquet(outDir)
+
+    // per-variable metadata sidecar (bounded driver loop over variables) —
+    // under `_meta/` so Spark's file index never sees it as data
+    entries.foreach { e =>
+      graft.sources.TableIO.writeSidecar(
+        s"$outDir/_meta/variable=${e.shortName}",
+        graft.model.TableMeta(e.shortName, title = e.meta.title,
+          primaryKey = entityCols, fields = Map(e.shortName -> e.meta)),
+        "parquet")
+    }
+
+    // ghost cleanup: delete variable dirs not re-emitted (to_db.py:416)
+    val emitted = entries.map(_.shortName).toSet
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (root <- Seq(new org.apache.hadoop.fs.Path(outDir),
+        new org.apache.hadoop.fs.Path(outDir, "_meta")) if fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("variable=") &&
+            !emitted.contains(n.stripPrefix("variable=")))
+          fs.delete(st.getPath, true)
+      }
+    entries.map(_.shortName)
   }
 }

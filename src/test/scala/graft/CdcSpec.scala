@@ -286,4 +286,27 @@ class CdcSpec extends SparkSpec {
     intercept[IllegalArgumentException] { table.dropColumn("url") }
     intercept[IllegalArgumentException] { table.dropColumn("_lsn") }
   }
+
+  test("auto-salt: a key-flood stream engages salting; state stays golden") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    def ev(lsn: Long, url: String) =
+      graft.model.ChangeEvent(lsn, "U", url, ts, Array.emptyByteArray, s"t$lsn", "en")
+    // 95% of each batch hits ONE url → duplication ratio ≈ 19 ≥ the auto
+    // threshold. (Structurally, the broadcast dedup's hash-agg partial
+    // aggregation already collapses the flood to ≤1 slim row per input
+    // partition; auto-salt is the explicit second-stage defense.)
+    val n = 2000
+    val b1 = (1 to n).map(i => ev(i.toLong, if (i % 20 != 0) "hot" else s"u$i"))
+    val b2 = (n + 1 to 2 * n).map(i => ev(i.toLong, if (i % 20 != 0) "hot" else s"u$i"))
+    val dir = tmpDir("flood") + "/pages"
+    val table = Engine.createPagesTable(dir, numBuckets = 8)
+    MergeApply(spark, table, b1.toDS.toDF, 0L) // observes the ratio
+    assert(MergeApply.lastDupRatio(dir).exists(_ > 8.0))
+    assert(MergeApply.saltAutoEngaged(dir)) // batch 2 runs the salted plan
+    MergeApply(spark, table, b2.toDS.toDF, 1L)
+    val got = checksum(table.read(spark).select(pageCols.map(col): _*))
+    val want = checksum(Engine.goldenFinalState((b1 ++ b2).toDS.toDF))
+    assert(got == want)
+  }
 }

@@ -153,6 +153,143 @@ class DagSpec extends SparkSpec {
     assert(out == expected && out.nonEmpty)
   }
 
+  test("stale out-of-order feed events lose to the seeded full build") {
+    import graft.graph.IncrementalSpec
+    val store = tmpDir("dag-ooo")
+    def evd(lsn: Long, op: String, url: String, text: String) =
+      graft.model.ChangeEvent(lsn, op, url,
+        new java.sql.Timestamp(0), Array.emptyByteArray, text, "en")
+    val src = cdc.Engine.createPagesTable(s"$store/pages", 4)
+    // upstream state: u5 carries LSN 35 (newer), u1 carries LSN 5 (older)
+    cdc.MergeApply(spark, src,
+      Seq(evd(35, "U", "u5", "newer five"), evd(5, "U", "u1", "one")).toDS.toDF,
+      0L, stepId = "cdc_ingest")
+    val step = Step("derived/text", Seq("pages"), "v1",
+      run = (_, in) => in("pages").select(col("url"), col("text"), col("_lsn")),
+      incremental = Some(IncrementalSpec.one("pages") { (_, feed, _) =>
+        feed.select(col("_lsn").as("lsn"), col("_op").as("op"),
+          col("url"), col("text"))
+      }))
+    val dag = new StepDag(Seq(Step.external("pages"), step), store)
+    dag.run(spark) // full build: rows seeded at their upstream _lsn (35, 5)
+    // out-of-order later batch: STALE event for u5 (lsn 20 < seeded 35) and
+    // a genuinely newer event for u1 (lsn 20 > seeded 5)
+    cdc.MergeApply(spark, src,
+      Seq(evd(20, "U", "u5", "stale five"), evd(21, "U", "u1", "newer one")).toDS.toDF,
+      1L, stepId = "cdc_ingest")
+    dag.run(spark)
+    val out = dag.table("derived/text").read(spark)
+      .select("url", "text").as[(String, String)].collect().toMap
+    // must equal a full recompute of the upstream's LWW state
+    val expected = src.read(spark)
+      .select("url", "text").as[(String, String)].collect().toMap
+    assert(out == expected)
+    assert(out("u5") == "newer five") // stale lsn-20 event lost
+    assert(out("u1") == "newer one")  // newer lsn-21 event won
+  }
+
+  test("multi-upstream incremental: either side's change applies via its feed") {
+    import graft.graph.IncrementalSpec
+    val store = tmpDir("dag-multi")
+    def evd(lsn: Long, op: String, url: String, text: String) =
+      graft.model.ChangeEvent(lsn, op, url,
+        new java.sql.Timestamp(0), Array.emptyByteArray, text, "en")
+    val a = cdc.Engine.createPagesTable(s"$store/pages_a", 4)
+    val b = cdc.Engine.createPagesTable(s"$store/pages_b", 4)
+    cdc.MergeApply(spark, a,
+      (1 to 10).map(i => evd(i.toLong, "U", s"a$i", "x " * i)).toDS.toDF,
+      0L, stepId = "ingest_a")
+    cdc.MergeApply(spark, b,
+      (1 to 10).map(i => evd(i.toLong, "U", s"b$i", "y " * i)).toDS.toDF,
+      0L, stepId = "ingest_b")
+    var fullRuns = 0
+    def tok(df: org.apache.spark.sql.DataFrame) = df.select(col("url"),
+      org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok"),
+      col("_lsn"))
+    def tokFeed(feed: org.apache.spark.sql.DataFrame) = feed.select(
+      col("_lsn").as("lsn"), col("_op").as("op"), col("url"),
+      org.apache.spark.sql.functions.size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // fact ⋈ fact shape: the derived table is the union of both upstreams'
+    // token counts (urls disjoint); EITHER side's change feed maintains it
+    val union = Step("derived/all_tokens", Seq("pages_a", "pages_b"), "v1",
+      run = (_, in) => { fullRuns += 1
+        tok(in("pages_a")).unionByName(tok(in("pages_b"))) },
+      incremental = Some(IncrementalSpec(Seq("pages_a", "pages_b"),
+        (_, feeds, _) => tokFeed(feeds("pages_a"))
+          .unionByName(tokFeed(feeds("pages_b"))))))
+    val dag = new StepDag(Seq(
+      Step.external("pages_a"), Step.external("pages_b"), union), store)
+    dag.run(spark)
+    assert(fullRuns == 1)
+    // A moves alone → incremental; B moves alone → incremental
+    cdc.MergeApply(spark, a, Seq(evd(100, "U", "a3", "p q r")).toDS.toDF,
+      1L, stepId = "ingest_a")
+    assert(dag.run(spark).executed == Seq("derived/all_tokens") && fullRuns == 1)
+    cdc.MergeApply(spark, b, Seq(evd(101, "D", "b7", "")).toDS.toDF,
+      1L, stepId = "ingest_b")
+    assert(dag.run(spark).executed == Seq("derived/all_tokens") && fullRuns == 1)
+    val out = dag.table("derived/all_tokens").read(spark)
+      .select("url", "n_tok").as[(String, Long)].collect().toMap
+    val expected = tok(a.read(spark)).unionByName(tok(b.read(spark)))
+      .select("url", "n_tok").as[(String, Long)].collect().toMap
+    assert(out == expected)
+    assert(out("a3") == 3L && !out.contains("b7"))
+    assert(dag.run(spark).executed.isEmpty) // converged
+  }
+
+  test("INSTANT metadata-only update: sidecar re-stamped, zero data rewrite") {
+    import graft.model.{TableMeta, VariableMeta}
+    val store = tmpDir("dag-instant")
+    def mk(metaV: String, title: String) = new StepDag(Seq(
+      Step("data/a", Nil, "v1", (s, _) => {
+        import s.implicits._
+        Seq(("k1", 1.0), ("k2", 2.0)).toDF("k", "v")
+      }, meta = Some(TableMeta("a", title = Some(title),
+        fields = Map("v" -> VariableMeta(title = Some(title))))),
+        metaVersion = metaV),
+      Step("data/b", Seq("data/a"), "v1", (_, in) => in("data/a"))
+    ), store)
+    mk("m1", "Original").run(spark)
+    val filesBefore = mk("m1", "Original").table("data/a").metadata
+      .currentSnapshot.get.files.map(_.path).toSet
+    assert(mk("m1", "Original").tableMeta(spark, "data/a")
+      .get.title.contains("Original"))
+    // metadata version bump: the step "executes" but only re-stamps
+    val dag2 = mk("m2", "Edited")
+    val r = dag2.run(spark)
+    assert(r.executed.contains("data/a"))
+    val snap2 = dag2.table("data/a").metadata.currentSnapshot.get
+    assert(snap2.files.map(_.path).toSet == filesBefore) // ZERO new data files
+    assert(dag2.tableMeta(spark, "data/a").get.title.contains("Edited"))
+    // downstream saw a new snapshot id → Merkle cascade re-ran it
+    assert(r.executed.contains("data/b"))
+    // converged; same dag runs clean
+    assert(dag2.run(spark).executed.isEmpty)
+  }
+
+  test("SUBSET dev filter: applied to external reads, part of the checksum") {
+    import graft.graph.IncrementalSpec
+    val store = tmpDir("dag-subset")
+    def evd(lsn: Long, op: String, url: String, lang: String) =
+      graft.model.ChangeEvent(lsn, op, url,
+        new java.sql.Timestamp(0), Array.emptyByteArray, "t", lang)
+    val src = cdc.Engine.createPagesTable(s"$store/pages", 4)
+    cdc.MergeApply(spark, src,
+      (1 to 10).map(i => evd(i.toLong, "U", s"u$i", if (i % 2 == 0) "en" else "fr"))
+        .toDS.toDF, 0L, stepId = "cdc_ingest")
+    def mk(subset: Option[String]) = new StepDag(Seq(
+      Step.external("pages"),
+      Step("derived/en", Seq("pages"), "v1",
+        run = (_, in) => in("pages").select(col("url"), col("lang")))
+    ), store, subset = subset)
+    mk(Some("lang = 'en'")).run(spark)
+    assert(mk(Some("lang = 'en'")).table("derived/en").read(spark).count() == 5)
+    // toggling the filter changes the checksum → re-runs → full rows
+    val r = mk(None).run(spark)
+    assert(r.executed == Seq("derived/en"))
+    assert(mk(None).table("derived/en").read(spark).count() == 10)
+  }
+
   test("cycles and missing deps are rejected") {
     val bad = new StepDag(Seq(
       Step("x", Seq("y"), "v", (_, _) => null),

@@ -22,4 +22,13 @@ class EntrySpec extends SparkSpec {
     }
     assert(bad.isEmpty, bad.mkString("\n"))
   }
+
+  test("repeated CDC queries register scratch paths, not JVM shutdown hooks") {
+    val before = CdcQuery.registeredScratchCount
+    CdcQuery.qCdcMerge(spark, "/root/testdata/sf0.001").limit(1).collect()
+    CdcQuery.qCdcMerge(spark, "/root/testdata/sf0.001").limit(1).collect()
+    // each invocation adds one path to the ONE static hook's registry —
+    // the registry grows, the JVM hook set does not (one Thread total)
+    assert(CdcQuery.registeredScratchCount == before + 2)
+  }
 }

@@ -178,4 +178,68 @@ class GrapherSpec extends SparkSpec {
       Grapher.readWideTable(spark, out, "Bad Name")
     }
   }
+
+  test("fan-out job count is constant in combos × columns (one aggregation pass)") {
+    import graft.meta.MetaTable
+    import graft.model.{TableMeta, VariableMeta}
+    // 3 dim values × 4 value columns; v3 all-null (must be skipped with NO
+    // per-(combo,column) isEmpty job — the one-pass count aggregation)
+    val rows = for { e <- 1 to 5; s <- Seq("a", "b", "c") } yield
+      (e.toLong, 2020, s, Some(1.0 * e), Some(2.0), None: Option[Double], Some(4.0))
+    val mt = MetaTable(rows.toDF("entityId", "year", "sex", "v1", "v2", "v3", "v4"),
+      TableMeta("t"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = Grapher.yieldWideTablesWithMeta(
+        mt, Seq("entityId", "year"), Seq("sex"), Seq("v1", "v2", "v3", "v4"))
+      assert(out.size == 9) // 3 combos × (4 cols − all-null v3)
+      // listener events are async: poll until the count is stable
+      var last = jobs.get(); var stable = 0; var waited = 0
+      while (stable < 400 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        if (jobs.get() == last) stable += 100
+        else { last = jobs.get(); stable = 0 }
+      }
+      // ONE aggregation pass (AQE may add a sub-job) — the old shape ran
+      // 1 distinct + 12 isEmpty jobs here
+      assert(jobs.get() <= 3, s"expected ≤3 jobs, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("publish: one write for all variables, ghost cleanup, idempotent") {
+    import graft.meta.MetaTable
+    import graft.model.{TableMeta, VariableMeta}
+    val garden = Seq(
+      ("France", 2020, 1.5, 67.0), ("Germany", 2020, 3.5, 83.0)
+    ).toDF("country", "year", "gdp", "pop")
+    val mt = MetaTable(garden, TableMeta("t", fields = Map(
+      "gdp" -> VariableMeta(title = Some("GDP")),
+      "pop" -> VariableMeta(title = Some("Population")))))
+    val out = tmpDir("grapher-pub")
+    val names1 = Grapher.publish(mt, entities, out)
+    assert(names1.toSet == Set("gdp", "pop"))
+    val gdp = Grapher.readWideTable(spark, out, "gdp")
+    assert(gdp.select("gdp").as[Double].collect().toSet == Set(1.5, 3.5))
+    // per-variable metadata sidecar round-trips
+    val (meta, _) = graft.sources.TableIO.readSidecar(spark, s"$out/_meta/variable=gdp")
+    assert(meta.fields("gdp").title.contains("GDP"))
+    // re-publish with pop removed → its dir is a GHOST and must be deleted
+    val mt2 = MetaTable(garden.drop("pop"), TableMeta("t", fields = Map(
+      "gdp" -> VariableMeta(title = Some("GDP")))))
+    assert(Grapher.publish(mt2, entities, out) == Seq("gdp"))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/variable=pop")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/variable=gdp")))
+    // idempotent: publishing again converges to the same state
+    Grapher.publish(mt2, entities, out)
+    assert(Grapher.readWideTable(spark, out, "gdp").count() == 2)
+  }
 }

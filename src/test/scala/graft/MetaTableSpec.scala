@@ -108,4 +108,19 @@ class MetaTableSpec extends SparkSpec {
     assert(ab == ba)
     assert(ab.title.contains("x") && ab.unit.isEmpty)
   }
+
+  test("division display: conflicts drop; numerator-missing never inherits (indicators.py:564-600)") {
+    val x = VariableMeta(display = Map("unit" -> "a"))
+    val y = VariableMeta(display = Map("unit" -> "b"))
+    // two DIFFERENT non-empty displays → dropped, for division too
+    assert(MetaTable.combineVariableOp(x, y, "/").display.isEmpty)
+    assert(MetaTable.combineVariableOp(x, y, "+").display.isEmpty)
+    // division's special case: only a MISSING numerator display forces None
+    assert(MetaTable.combineVariableOp(x, VariableMeta(), "/").display == Map("unit" -> "a"))
+    assert(MetaTable.combineVariableOp(VariableMeta(), y, "/").display.isEmpty)
+    // non-division still inherits the unique non-empty side
+    assert(MetaTable.combineVariableOp(VariableMeta(), y, "+").display == Map("unit" -> "b"))
+    // equal displays always kept
+    assert(MetaTable.combineVariableOp(x, x.copy(), "/").display == Map("unit" -> "a"))
+  }
 }

@@ -198,6 +198,24 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(rows == Set((Some("1"), Some("x")), (Some("2"), None)))
   }
 
+  test("readFwf: trailing newline adds no phantom row; interior blanks kept") {
+    val dir = tmpDir("fwf-nl")
+    // the NORMAL file shape: ends with a newline
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "data.txt"),
+      "HDR\nusa \nfra \n".getBytes("UTF-8"))
+    val df = TableIO.readFwf(spark, dir + "/data.txt",
+      Seq(("name", 0, 4)), skipRows = 1)
+    assert(df.as[String].collect().sorted.toSeq == Seq("fra", "usa"))
+    // interior empty line preserved (only the final newline is special)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "blank.txt"),
+      "HDR\nusa \n\nfra \n".getBytes("UTF-8"))
+    val df2 = TableIO.readFwf(spark, dir + "/blank.txt",
+      Seq(("name", 0, 4)), skipRows = 1)
+    assert(df2.as[String].collect().sorted.toSeq == Seq("", "fra", "usa"))
+  }
+
   test("WAL contiguity monitor: gaps and late events across micro-batches") {
     import graft.streaming.WalMonitor
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -158,6 +158,87 @@ class TrainOpsSpec extends SparkSpec {
     }
   }
 
+  test("production-hash recall floors: simhash banding lossless at ≤3 bits; minhash LSH; multi-probe ANN") {
+    // The oracle gate proves the md5 bases; this pins RECALL for the
+    // xxhash64 production paths against exact ground truth. Planted
+    // near-dups: 2 of 40 tokens mutated (Jaccard well above 0.5).
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 800).map(i => s"w$i")
+    def doc(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = Seq.fill(50)(doc(40))
+    def mutate(d: String): String = {
+      val t = d.split(" ").clone()
+      (0 until 2).foreach(_ => t(rnd.nextInt(t.length)) = vocab(rnd.nextInt(vocab.size)))
+      t.mkString(" ")
+    }
+    val corpus = (bases ++ bases.map(mutate)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text").cache()
+
+    // minhash(xxhash64) LSH candidates vs EXACT Jaccard ≥ 0.5 pairs
+    val exactJac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3,
+      threshold = 0.5).select("i", "j").as[(Long, Long)].collect().toSet
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 8, n = 3)
+    val mhCand = Dedup.minhashLshPairs(sigs, "doc_id", 8, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(exactJac.size >= 40) // the plant worked
+    val mhRecall = exactJac.count(mhCand.contains).toDouble / exactJac.size
+    assert(mhRecall >= 0.8, s"minhash(xxhash64) LSH recall $mhRecall < 0.8")
+
+    // simhashWide(xxhash64): banding must be LOSSLESS for Hamming ≤ 3
+    // (pigeonhole: ≤3 flipped bits cannot touch all 4 bands)
+    val wide = Dedup.simhashWide(corpus, "doc_id", "text").cache()
+    val sigMap = wide.collect().map(r => r.getLong(0) ->
+      (0 until 4).map(c => r.getLong(c + 1))).toMap
+    val exactHam = (for {
+      (i, si) <- sigMap.toSeq; (j, sj) <- sigMap.toSeq if i < j
+      if (0 until 4).map(c => java.lang.Long.bitCount(si(c) ^ sj(c))).sum <= 3
+    } yield (i, j)).toSet
+    val bandCand = Dedup.simhashWidePairs(wide, "doc_id", maxHamming = 3)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(exactHam.nonEmpty)
+    assert(exactHam.subsetOf(bandCand),
+      s"simhash banding dropped ${(exactHam -- bandCand).size} true pairs")
+
+    // multi-probe sign-LSH ANN: top-1 recall vs brute force, and ≥ the
+    // single-probe recall (probing can only add candidate buckets)
+    val dim = 8
+    def vec() = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val targets = (0 until 300).map(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val queries = targets.limit(25)
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("qid", "tid", "cos").as[(Long, Long, Double)].collect()
+        .groupBy(_._1).map { case (q, ts) => q -> ts.maxBy(t => (t._3, -t._2))._2 }
+    val truth = top1(Ann.bruteForceTopK(queries, targets, "vec_id", "embedding", 1))
+    val single = top1(Ann.lshTopK(queries, targets, "vec_id", "embedding", 1, dim,
+      planes = 4, multiProbe = false))
+    val multi = top1(Ann.lshTopK(queries, targets, "vec_id", "embedding", 1, dim,
+      planes = 4, multiProbe = true))
+    def recall(got: Map[Long, Long]): Double =
+      truth.count { case (q, t) => got.get(q).contains(t) }.toDouble / truth.size
+    assert(recall(multi) >= recall(single))
+    assert(recall(multi) >= 0.5, s"multi-probe top-1 recall ${recall(multi)}")
+    corpus.unpersist(); wide.unpersist()
+  }
+
+  test("dupClusters reliable-checkpoint path survives a worst-case 50-round diameter") {
+    // a PATH graph is the worst case for min-label propagation: the label
+    // needs O(diameter) rounds to reach the far end. 51 nodes → 50 rounds.
+    // Run it through the RELIABLE Dataset.checkpoint path (the cluster-mode
+    // contract: executor loss recomputes from persisted rounds, unlike
+    // localCheckpoint's executor-resident blocks).
+    val n = 50
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("i", "j")
+    val ckptDir = tmpDir("dup-ckpt")
+    val labels = Dedup.dupClusters(pairs, maxIters = n + 2,
+        checkpointDir = Some(ckptDir))
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == n + 1 && labels.values.forall(_ == 0L))
+    // the checkpoint dir was actually used (reliable files on disk)
+    val fs = new org.apache.hadoop.fs.Path(ckptDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(ckptDir)).nonEmpty)
+  }
+
   test("repetition score and benchmark contamination") {
     // "a b c" repeated: 8 tokens → 6 trigrams, 3 distinct → dup_frac 0.5
     val rep = Seq((1L, "a b c a b c a b"), (2L, "x y")).toDF("doc_id", "text")
