@@ -53,25 +53,42 @@ object FeatherIO {
       throw new IllegalArgumentException(s"feather: unsupported type $other in $field")
   }
 
-  /** Decode one feather file's bytes into Spark-external Row values. */
+  /** Decode one feather file's bytes into Spark-external Row values —
+    * STREAMING per Arrow record batch: only the current batch's vectors are
+    * decoded at a time (per-file heap = raw bytes + one batch, not the full
+    * decoded row set). The reader/allocator close when the iterator drains
+    * (Spark consumes mapPartitions iterators fully). */
   private def decode(bytes: Array[Byte], schema: StructType): Iterator[Row] = {
     val allocator = new RootAllocator()
     val reader = new ArrowFileReader(
       new ByteArrayReadableSeekableByteChannel(bytes), allocator,
       CommonsCompressionFactory.INSTANCE)
-    try {
-      val root = reader.getVectorSchemaRoot
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      while (reader.loadNextBatch()) {
-        val vectors = schema.fields.map(f => root.getVector(f.name))
-        var i = 0
-        while (i < root.getRowCount) {
-          out += Row.fromSeq(vectors.toSeq.map(v => value(v, i)))
-          i += 1
+    val root = reader.getVectorSchemaRoot
+    new Iterator[Row] {
+      private var vectors: Array[FieldVector] = Array.empty
+      private var rowIdx = 0
+      private var rowCount = 0
+      private var closed = false
+      private def close(): Unit =
+        if (!closed) { closed = true; reader.close(); allocator.close() }
+      private def advance(): Boolean = {
+        while (rowIdx >= rowCount && !closed) {
+          if (reader.loadNextBatch()) {
+            vectors = schema.fields.map(f => root.getVector(f.name))
+            rowCount = root.getRowCount
+            rowIdx = 0
+          } else close()
         }
+        !closed
       }
-      out.iterator
-    } finally { reader.close(); allocator.close() }
+      override def hasNext: Boolean = rowIdx < rowCount || advance()
+      override def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException("feather iterator drained")
+        val r = Row.fromSeq(vectors.toSeq.map(v => value(v, rowIdx)))
+        rowIdx += 1
+        r
+      }
+    }
   }
 
   private def value(v: FieldVector, i: Int): Any = {

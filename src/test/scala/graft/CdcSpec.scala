@@ -287,6 +287,29 @@ class CdcSpec extends SparkSpec {
     intercept[IllegalArgumentException] { table.dropColumn("_lsn") }
   }
 
+  test("change feed spans a schema change: multi-version single-scan, ID-remapped") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    def ev(lsn: Long, op: String, url: String, text: String) =
+      graft.model.ChangeEvent(lsn, op, url, ts, Array.emptyByteArray, text, "en")
+    val table = Engine.createPagesTable(tmpDir("lakefeed") + "/pages", numBuckets = 4)
+    MergeApply(spark, table,
+      Seq(ev(1, "U", "u1", "t1"), ev(2, "U", "u2", "t2")).toDS.toDF, 0L)
+    table.addColumn("fetch_status", "int")
+    MergeApply(spark, table,
+      Seq(ev(3, "U", "u3", "t3"), ev(4, "D", "u1", "")).toDS.toDF
+        .withColumn("fetch_status", lit(200)), 1L)
+    val feed = table.changesBetween(spark, 0L,
+        table.metadata.currentSnapshotId.get)
+      .select("url", "_lsn", "_op", "_snapshot_id", "fetch_status")
+      .as[(String, Long, String, Long, Option[Int])].collect().sortBy(_._2)
+    // v1 rows surface with the evolved schema (fetch_status null), v2 rows
+    // carry their value; _snapshot_id recovered per file from ONE scan pass
+    assert(feed.toSeq == Seq(
+      ("u1", 1L, "U", 1L, None), ("u2", 2L, "U", 1L, None),
+      ("u3", 3L, "U", 2L, Some(200)), ("u1", 4L, "D", 2L, Some(200))))
+  }
+
   test("auto-salt: a key-flood stream engages salting; state stays golden") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(0L)
