@@ -17,13 +17,20 @@ import org.apache.spark.sql.streaming.Trigger
   * spark-submit --class graft.Main <jar> vacuum  --table DIR
   * spark-submit --class graft.Main <jar> catalog --store DIR
   * spark-submit --class graft.Main <jar> state   --table DIR [--as-of SNAPSHOT]
+  * spark-submit --class graft.Main <jar> history --table DIR
+  * spark-submit --class graft.Main <jar> feed    --table DIR --from SNAP [--to SNAP]
   * }}}
+  *
+  * `history` prints the retained snapshot lineage (step id, batch id, LSN
+  * range, per-op row counts, schema version, input checksum — the
+  * north_rule's per-partition lineage, operator-visible); `feed` shows the
+  * incremental change feed between two snapshots.
   */
 object Main {
 
   private def parse(args: Array[String]): (String, Map[String, String]) = {
     require(args.nonEmpty,
-      "usage: <gen|ingest|compact|vacuum|catalog|state> [--k v ...]")
+      "usage: <gen|ingest|compact|vacuum|catalog|state|history|feed> [--k v ...]")
     val cmd = args.head
     val opts = args.tail.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
@@ -91,6 +98,26 @@ object Main {
         val table = new LakeTable(o("table"))
         val df = table.read(spark,
           asOfSnapshot = o.get("as-of").map(_.toLong))
+        println(s"rows=${df.count()}")
+        df.show(20, truncate = 60)
+
+      case "history" =>
+        val m = new LakeTable(o("table")).metadata
+        println(f"${"snap"}%6s ${"parent"}%6s ${"step"}%-16s ${"batch"}%6s " +
+          f"${"lsnMin"}%10s ${"lsnMax"}%10s ${"+ins"}%8s ${"~upd"}%8s ${"-del"}%8s schema checksum")
+        m.snapshots.foreach { s =>
+          println(f"${s.snapshotId}%6d ${s.parentId.getOrElse(-1L)}%6d " +
+            f"${s.stepId}%-16s ${s.batchId}%6d ${s.lsnMin}%10d ${s.lsnMax}%10d " +
+            f"${s.rowsInserted}%8d ${s.rowsUpdated}%8d ${s.rowsDeleted}%8d " +
+            f"v${s.schemaVersion}%-5s ${s.inputChecksum.getOrElse("-")}")
+        }
+
+      case "feed" =>
+        val t = new LakeTable(o("table"))
+        val to = o.get("to").map(_.toLong)
+          .orElse(t.metadata.currentSnapshotId)
+          .getOrElse(throw new IllegalArgumentException("empty table"))
+        val df = t.changesBetween(spark, o("from").toLong, to)
         println(s"rows=${df.count()}")
         df.show(20, truncate = 60)
 
