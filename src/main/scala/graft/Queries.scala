@@ -589,6 +589,57 @@ object Queries {
       |  CAST(SUM(CAST(value AS DECIMAL(28,2))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS value__signup
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Grapher publish long fan-out (GrapherStep.run's data shape,
+    * steps/__init__.py:999-1129 + helpers.py:31-123): a garden-style table
+    * (country, year, segment dim, two value columns) melted ONCE with
+    * per-row short-name resolution `col__segment_value` through the
+    * bounded literal map — the single-write publish path, oracle-checked
+    * against an explicit UNION ALL unpivot. */
+  def qGrapherPublish(spark: SparkSession, dir: String): DataFrame = {
+    import graft.meta.MetaTable
+    import graft.model.TableMeta
+    import graft.ops.Grapher
+    val garden = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("country"),
+        (col("c_custkey") % 3 + 2020).cast("int").as("year"),
+        col("c_mktsegment").as("segment"))
+      .agg(
+        d(sum(dec(col("c_acctbal")))).as("balance"),
+        count(lit(1)).as("customers"))
+    val entityCols = Seq("country", "year")
+    val dimCols = Seq("segment")
+    val valueCols = Seq("balance", "customers")
+    val entries = Grapher.yieldWideEntries(
+      MetaTable(garden, TableMeta("garden")), entityCols, dimCols, valueCols)
+    Grapher.publishLong(garden, entries, entityCols, dimCols, valueCols)
+      .orderBy("variable", "country", "year")
+  }
+
+  val qGrapherPublishSql: String =
+    """WITH garden AS (
+      |  SELECT n_name AS country,
+      |    CAST(c_custkey % 3 + 2020 AS INT) AS year,
+      |    c_mktsegment AS segment,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS balance,
+      |    COUNT(*) AS customers
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2, 3
+      |), long AS (
+      |  SELECT country, year,
+      |    'balance__segment_' || lower(segment) AS variable,
+      |    balance AS value
+      |  FROM garden WHERE balance IS NOT NULL
+      |  UNION ALL
+      |  SELECT country, year,
+      |    'customers__segment_' || lower(segment) AS variable,
+      |    CAST(customers AS DOUBLE) AS value
+      |  FROM garden WHERE customers IS NOT NULL
+      |)
+      |SELECT country, year, variable, value FROM long
+      |ORDER BY variable, country, year""".stripMargin
+
   // ------------------------------------------------------- scalar functions
 
   /** String/date/math scalar surface (SURVEY §2.8). */
@@ -967,6 +1018,7 @@ object Queries {
     "q_melt" -> ((qMelt _, qMeltSql)),
     "q_pivot" -> ((qPivot _, qPivotSql)),
     "q_long_to_wide" -> ((qLongToWide _, qLongToWideSql)),
+    "q_grapher_publish" -> ((qGrapherPublish _, qGrapherPublishSql)),
     "q_scalar_funcs" -> ((qScalarFuncs _, qScalarFuncsSql)),
     "q_date_funcs" -> ((qDateFuncs _, qDateFuncsSql)),
     "q_regex_extract" -> ((qRegexExtract _, qRegexExtractSql)),

@@ -289,6 +289,36 @@ object Grapher {
     * Idempotent: re-publishing the same table converges to the same dirs.
     * Value columns must share a numeric type (melt casts to the common
     * type; grapher indicators are numeric). Returns emitted short names. */
+  /** The single-pass long fan-out at the heart of `publish`: melt every
+    * value column once (codegen'd Expand — no per-variable scan), resolve
+    * each row's grapher short name through a bounded literal map keyed on
+    * (column, dim values) — `try_element_at` O(1)-depth lookup, never a
+    * when-chain — and drop null values plus all-null variables (absent
+    * keys). Oracle-gated via q_grapher_publish. */
+  def publishLong(
+      df: DataFrame,
+      entries: Seq[WideEntry],
+      entityCols: Seq[String],
+      dimCols: Seq[String],
+      valueCols: Seq[String]
+  ): DataFrame = {
+    val Sep = ""
+    val NullMark = " null"
+    val keyOf: (String, Map[String, String]) => String = (c, dims) =>
+      (c +: dimCols.map(d => dims.getOrElse(d, NullMark))).mkString(Sep)
+    val nameByKey: Map[String, String] =
+      entries.map(e => keyOf(e.column, e.dims) -> e.shortName).toMap
+    val keyExpr = concat_ws(Sep,
+      (col("__col") +: dimCols.map(d =>
+        coalesce(col(d).cast("string"), lit(NullMark)))): _*)
+    Reshape.melt(df, entityCols ++ dimCols, valueCols,
+        varName = "__col", valueName = "value")
+      .where(col("value").isNotNull)
+      .withColumn("variable", try_element_at(typedLit(nameByKey), keyExpr))
+      .where(col("variable").isNotNull)
+      .select((entityCols.map(col) :+ col("variable") :+ col("value")): _*)
+  }
+
   def publish(
       mt: MetaTable,
       entities: DataFrame,
@@ -302,26 +332,7 @@ object Grapher {
     val valueCols = adapted.df.columns.toSeq
       .filterNot(c => entityCols.contains(c) || dimCols.contains(c))
     val entries = yieldWideEntries(adapted, entityCols, dimCols, valueCols)
-
-    // bounded (variables × combos) literal map: (column + dim values) →
-    // short name; all-null variables have no key and melt rows for them
-    // resolve to null → filtered. O(1)-depth lookup (try_element_at on a
-    // literal map), never a when-chain.
-    val Sep = "\u0001"
-    val NullMark = "\u0000null"
-    val keyOf: (String, Map[String, String]) => String = (c, dims) =>
-      (c +: dimCols.map(d => dims.getOrElse(d, NullMark))).mkString(Sep)
-    val nameByKey: Map[String, String] =
-      entries.map(e => keyOf(e.column, e.dims) -> e.shortName).toMap
-    val keyExpr = concat_ws(Sep,
-      (col("__col") +: dimCols.map(d =>
-        coalesce(col(d).cast("string"), lit(NullMark)))): _*)
-    val long = Reshape.melt(adapted.df, entityCols ++ dimCols, valueCols,
-        varName = "__col", valueName = "value")
-      .where(col("value").isNotNull)
-      .withColumn("variable", try_element_at(typedLit(nameByKey), keyExpr))
-      .where(col("variable").isNotNull)
-      .select((entityCols.map(col) :+ col("variable") :+ col("value")): _*)
+    val long = publishLong(adapted.df, entries, entityCols, dimCols, valueCols)
     long
       .repartition(col("variable"))
       .write.mode("overwrite")
