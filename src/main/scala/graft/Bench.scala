@@ -244,6 +244,17 @@ object Bench {
       incNode.put("derived_rows", rows)
       incNode.put("full_build_sec", r3(fullSec))
       incNode.put("incremental_sec", r3(incSec))
+      // fact ⋈ fact: two CDC upstreams, one side moves → one feed consumed
+      val multiStore = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get(benchRoot), "incm").toString
+      try {
+        val (mFull, mInc) = IncBench.measureMulti(spark, multiStore, 500000L, 100)
+        incNode.put("multi_upstream_full_sec", r3(mFull))
+        incNode.put("multi_upstream_incremental_sec", r3(mInc))
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(multiStore)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+      }
     } finally {
       val p = new org.apache.hadoop.fs.Path(incStore)
       p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)

@@ -53,6 +53,53 @@ object IncBench {
     (fullSec, incSec, dag.table("derived/tokens").read(spark).count())
   }
 
+  /** Multi-upstream (fact ⋈ fact) incremental evidence: a derived step over
+    * TWO CDC tables (each `nEvents/2`), maintained incrementally when only
+    * ONE side moves — the shape a real pipeline hits first. Returns
+    * (full-build sec, incremental sec for a one-sided `nChanges` change). */
+  def measureMulti(spark: SparkSession, store: String,
+      nEvents: Long, nChanges: Int): (Double, Double) = {
+    val half = nEvents / 2
+    def mkSrc(name: String, seed: Long) = {
+      val cfg = cdc.EventGen.Config(
+        nEvents = half, nUrls = math.max(1000L, half / 10),
+        nDomains = 200, seed = seed, skew = 2.0, parallelism = 32)
+      val src = cdc.Engine.createPagesTable(s"$store/$name", numBuckets = 32)
+      cdc.MergeApply(spark, src, cdc.EventGen.events(spark, cfg).toDF, 0L,
+        stepId = "cdc_ingest")
+      (src, cfg)
+    }
+    val (a, cfgA) = mkSrc("pages_a", 7)
+    val (b, _) = mkSrc("pages_b", 11)
+    def tok(side: String)(df: org.apache.spark.sql.DataFrame) = df.select(
+      concat(lit(side), lit(":"), col("url")).as("url"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"), col("_lsn"))
+    def tokFeed(side: String)(feed: org.apache.spark.sql.DataFrame) = feed.select(
+      col("_lsn").as("lsn"), col("_op").as("op"),
+      concat(lit(side), lit(":"), col("url")).as("url"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val union = Step("derived/all_tokens", Seq("pages_a", "pages_b"), "v1",
+      run = (_, in) => tok("a")(in("pages_a")).unionByName(tok("b")(in("pages_b"))),
+      incremental = Some(IncrementalSpec(Seq("pages_a", "pages_b"),
+        (_, feeds, _) => tokFeed("a")(feeds("pages_a"))
+          .unionByName(tokFeed("b")(feeds("pages_b"))))))
+    val dag = new StepDag(Seq(Step.external("pages_a"),
+      Step.external("pages_b"), union), store, numBuckets = 32)
+    val t0 = System.nanoTime()
+    dag.run(spark)
+    val fullSec = (System.nanoTime() - t0) / 1e9
+    // only side A moves: B's feed is empty, A's is O(changes)
+    val changes = cdc.EventGen.events(spark,
+      cfgA.copy(nEvents = nChanges.toLong)).toDF
+      .withColumn("lsn", col("lsn") + half)
+    cdc.MergeApply(spark, a, changes, 1L, stepId = "cdc_ingest")
+    val t1 = System.nanoTime()
+    val r = dag.run(spark)
+    val incSec = (System.nanoTime() - t1) / 1e9
+    require(r.executed == Seq("derived/all_tokens"), s"unexpected: $r")
+    (fullSec, incSec)
+  }
+
   def main(args: Array[String]): Unit = {
     val nEvents = sys.env.getOrElse("SPARK_GRAFT_INC_EVENTS", "500000").toLong
     val nChanges = sys.env.getOrElse("SPARK_GRAFT_INC_CHANGES", "100").toInt

@@ -76,7 +76,8 @@ object Main {
           trigger = trigger,
           saltBuckets = o.getOrElse("salt", "0").toInt,
           mode = mode,
-          compactEvery = o.getOrElse("compact-every", "8").toInt)
+          compactEvery = o.getOrElse("compact-every", "8").toInt,
+          vacuumEvery = o.getOrElse("vacuum-every", "0").toInt)
         q.awaitTermination()
         val m = table.metadata
         println(s"ingested: snapshot=${m.currentSnapshotId.getOrElse(-1L)} " +

@@ -67,6 +67,10 @@ object Engine {
       saltBuckets: Int = 0,
       mode: MergeApply.MergeMode = MergeApply.MergeOnRead,
       compactEvery: Int = 8,
+      // file GC cadence for CONTINUOUS operation: every K batches, delete
+      // data files no longer referenced by any retained snapshot (safe from
+      // the writer — single-writer contract). 0 = manual vacuum only.
+      vacuumEvery: Int = 0,
       // post-commit hook per applied batch — e.g. StepDag.run for continuous
       // materialized-view maintenance (downstream incremental steps consume
       // the change feed right after each micro-batch commit)
@@ -88,6 +92,9 @@ object Engine {
         if (!stats.skipped && mode == MergeApply.MergeOnRead &&
           compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           MergeApply.compact(spark, table)
+        // bound on-disk garbage: GC unreferenced files every K batches
+        if (!stats.skipped && vacuumEvery > 0 && (batchId + 1) % vacuumEvery == 0)
+          table.vacuum()
         if (!stats.skipped) onBatch(stats)
         ()
       }

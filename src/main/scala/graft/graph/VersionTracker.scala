@@ -143,4 +143,20 @@ object UpgradeMap {
       removed = (o -- n).toSeq.sorted,
       added = (n -- o).toSeq.sorted)
   }
+
+  /** Upgrade map between two `Grapher.publish` outputs, read from their
+    * `_meta/variable=*` sidecar listings (driver-side, bounded by variable
+    * cardinality — the wizard's two-dataset comparison). */
+  def betweenPublishDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      oldDir: String, newDir: String): UpgradeMap = {
+    def vars(dir: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("variable=")).map(_.stripPrefix("variable="))
+    }
+    between(vars(oldDir), vars(newDir))
+  }
 }

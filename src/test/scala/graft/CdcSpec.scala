@@ -203,14 +203,30 @@ class CdcSpec extends SparkSpec {
     val cfg = EventGen.Config(nEvents = 8000, nUrls = 600, seed = 23, parallelism = 4)
     val walDir = tmpDir("wal4")
     EventGen.writeWalSegments(spark, cfg, walDir, 4)
-    val table = Engine.createPagesTable(tmpDir("lake4") + "/pages", numBuckets = 4)
+    val tableDir = tmpDir("lake4") + "/pages"
+    val table = Engine.createPagesTable(tableDir, numBuckets = 4)
     val q = Engine.runStream(spark, walDir, tmpDir("ckpt4"), table,
-      maxFilesPerTrigger = Some(8))
+      maxFilesPerTrigger = Some(8), compactEvery = 2, vacuumEvery = 2)
     q.awaitTermination()
 
     val want = Engine.goldenFinalState(
       spark.read.schema(Engine.eventSchema).parquet(walDir + "/*"))
     assert(checksum(table.read(spark)) == checksum(want))
+    // in-stream vacuum kept on-disk files == the retained snapshots' live
+    // set (continuous operation does not accumulate compaction garbage)
+    val live = table.metadata.snapshots.flatMap(s => table.filesOf(s).map(_.path)).toSet
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(tableDir, "data"), true)
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) b += p.toUri.getPath
+      }
+      b.toSet
+    }
+    assert(onDisk.size == live.size)
   }
 
   test("checkpoint resume: restart mid-stream converges to the same state") {

@@ -241,5 +241,11 @@ class GrapherSpec extends SparkSpec {
     // idempotent: publishing again converges to the same state
     Grapher.publish(mt2, entities, out)
     assert(Grapher.readWideTable(spark, out, "gdp").count() == 2)
+    // indicator upgrade map between two published versions (sidecar-driven)
+    val outOld = tmpDir("grapher-pub-old")
+    Grapher.publish(mt, entities, outOld) // the (gdp, pop) version
+    val um = graft.graph.UpgradeMap.betweenPublishDirs(spark, outOld, out)
+    assert(um.mapped == Map("gdp" -> "gdp"))
+    assert(um.removed == Seq("pop") && um.added.isEmpty)
   }
 }
