@@ -198,6 +198,30 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(rows == Set((Some("1"), Some("x")), (Some("2"), None)))
   }
 
+  test("StataIO reads dta 117 and 118: types, names, missing sentinels") {
+    import graft.sources.StataIO
+    // golden fixtures written by the PUBLIC pandas to_stata writer
+    // (versions 117 and 118), committed under src/test/resources/stata
+    for (ver <- Seq(117, 118)) {
+      val path = getClass.getResource(s"/stata/fixture$ver.dta").getPath
+      val df = StataIO.read(spark, path)
+      assert(df.columns.toSeq ==
+        Seq("country", "year", "small", "mid", "v", "f"))
+      assert(df.schema("year").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(df.schema("small").dataType ==
+        org.apache.spark.sql.types.ByteType)
+      val rows = df
+        .select("country", "year", "small", "mid", "v", "f")
+        .as[(String, Int, Byte, Short, Option[Double], Float)]
+        .collect().sortBy(_._2)
+      assert(rows.toSeq == Seq(
+        ("usa", 2020, 1.toByte, 10.toShort, Some(1.5), 0.5f),
+        ("france", 2021, 2.toByte, 20.toShort, Some(2.25), 1.5f),
+        ("germany", 2022, 3.toByte, 30.toShort, None, 2.5f))) // NaN → Stata missing → null
+    }
+  }
+
   test("readFwf: trailing newline adds no phantom row; interior blanks kept") {
     val dir = tmpDir("fwf-nl")
     // the NORMAL file shape: ends with a newline
