@@ -23,7 +23,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "1000000").toLong
+    // default 2M: micro-batches at 10^10-event scale are as large as memory
+    // allows, and per-batch fixed overhead (scheduling, broadcast barrier,
+    // commit) is fully amortized from ~500k events/batch up (BASELINE.md
+    // round-4 batch-size sweep) — 1M was fixed-cost-dominated at 32 cores
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "2000000").toLong
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_CDC_BATCHES", "4").toInt
     val skipQueries = sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "0") == "1"
 

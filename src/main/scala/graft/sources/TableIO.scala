@@ -64,6 +64,7 @@ object TableIO {
         .option("inferSchema", "true").csv(s"$dir/data.csv")
       case "json"    => spark.read.json(s"$dir/data.json")
       case "feather" => FeatherIO.read(spark, s"$dir/data.feather")
+      case "stata"   => StataIO.read(spark, s"$dir/data.dta") // reader-only (like the reference)
     }
     (if (safeTypes) Repack.toSafeTypes(df) else df, meta)
   }
