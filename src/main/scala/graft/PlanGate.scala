@@ -81,10 +81,11 @@ object PlanGate {
       check(name, badWindows.isEmpty, "no unpartitioned (global) window")
     }
 
-    // the most expensive queries of BENCH_r03 + the scan/join/window cores
+    // the most expensive queries of the latest BENCH + the
+    // scan/join/window cores + the round-4 publish fan-out
     val picks = Seq("q_dup_clusters", "q_simhash_pairs", "q_cdc_merge",
       "q_ngram_jaccard", "q_minhash_lsh_pairs", "q_groupby_agg_map",
-      "q_contamination",
+      "q_contamination", "q_grapher_publish",
       "q_scan_filter", "q1_agg", "q_join_agg", "q_rolling", "q_dedup_exact")
     for (name <- picks)
       auditDf(name, SparkEntry.queries(name)(spark, dir))
