@@ -7,12 +7,21 @@ import org.apache.spark.sql.SparkSession
   * plus the primary metric — sustained change-events/sec of the CDC
   * merge-apply path (BASELINE.json `metric`).
   *
+  * Crash-proof by construction (round-4 postmortem: the driver's run was
+  * SIGKILLed and left nothing): every section flushes to
+  * `BENCH_partial.json` as it completes — a kill at any point leaves all
+  * already-measured numbers parseable — and the final stdout line renders
+  * from the same structure. Startup vacuums stale WAL caches (tmpfs debris
+  * is RAM) and falls back from /dev/shm to java.io.tmpdir under pressure
+  * (see [[BenchEnv]]).
+  *
   * Env knobs:
   *   SPARK_GRAFT_SF_DIR  — testdata dir (default sf0.1)
   *   SPARK_GRAFT_CPUS    — local[N] threads + shuffle partitions (default 4)
-  *   SPARK_GRAFT_CDC_EVENTS   — events replayed through merge-apply (default 1M)
+  *   SPARK_GRAFT_CDC_EVENTS   — events replayed through merge-apply (default 2M)
   *   SPARK_GRAFT_CDC_BATCHES  — micro-batches (default 4)
   *   SPARK_GRAFT_SKIP_QUERIES — "1" to bench only the CDC path (scaling runs)
+  *   SPARK_GRAFT_PARTIAL — partial-results file (default ./BENCH_partial.json)
   *
   * The ≥0.8 scaling-efficiency evidence (N vs 4N cores) is produced by
   * tools/bench_scaling.sh, which runs this main twice (CPUS=8, CPUS=32) on
@@ -31,17 +40,15 @@ object Bench {
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_CDC_BATCHES", "4").toInt
     val skipQueries = sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "0") == "1"
 
-    // shuffle blocks on tmpfs: a real cluster shuffles to per-executor
-    // NVMe, so a single shared sandbox disk would understate scaling
-    val localDir =
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-local"
-      else sys.props("java.io.tmpdir")
+    // shuffle blocks on tmpfs when it has headroom: a real cluster shuffles
+    // to per-executor NVMe, so a single shared sandbox disk would understate
+    // scaling; under shm pressure fall back to disk rather than OOM the host
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.local.dir", localDir)
+      .config("spark.local.dir", BenchEnv.sparkLocalDir(nEvents))
       // task-side commit renames (v2): the v1 job-commit renames every
       // task file serially on the driver — a hidden serial section that
       // grows with file count
@@ -50,11 +57,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def r3(v: Double) = math.rint(v * 1000) / 1000.0
+    def r1d(v: Double) = math.rint(v * 10) / 10.0
+    val partial = new BenchEnv.Partial(
+      sys.env.getOrElse("SPARK_GRAFT_PARTIAL", "BENCH_partial.json"))
+    val rootNode = partial.root
+    rootNode.put("metric", "total")
+    rootNode.put("unit", "sec")
+    rootNode.put("sf", sfDir)
+    val qNode = rootNode.putObject("queries")
+    val eNode = rootNode.putObject("errors")
+    var total = 0.0
+    def record(name: String, sec: Double): Unit = {
+      qNode.put(name, r3(sec)); total += sec
+      rootNode.put("value", r3(total))
+    }
+
     // ---- operator query suite ---------------------------------------------
     // warm-up pass OUTSIDE the timed loop: without it the alphabetically
     // first query absorbs all JIT/codegen/class-loading cost (measured 14 s
     // vs 0.9 s for an identical-shape query in round 1)
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     if (!skipQueries) {
       // one of each execution shape: codegen agg/join, window, HOF+explode,
       // iterative localCheckpoint loop, engine replay (lake write+read)
@@ -64,38 +86,34 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-    }
-    val results: Seq[(String, Double)] =
-      if (skipQueries) Nil
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // failures are RECORDED, never silently timed as ~0 s
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.next().take(200)
+          eNode.put(name, Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.next().take(200))
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        record(name, (System.nanoTime() - t0) / 1e9)
+        partial.flush() // a kill mid-suite keeps every finished timing
       }
+    }
 
     // ---- CDC merge-apply throughput (primary metric) ----------------------
     // WAL generation is setup, not measured. The WAL is cached on disk keyed
-    // by (nEvents, nBatches) so scaling runs at different CPU counts replay
-    // the identical input.
-    // bench working set lives on tmpfs by default: on a real cluster IO is
-    // distributed across executors' local disks, so per-node disk bandwidth
-    // is not the scaling limit — locally we remove it the same way to
-    // measure the compute path (set SPARK_GRAFT_BENCH_DIR to override)
-    val benchRoot = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
-      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
-      else sys.props("java.io.tmpdir"))
+    // by config so scaling runs at different CPU counts replay the identical
+    // input; stale-key caches from earlier configs are vacuumed at startup
+    // (tmpfs debris = RAM taken from the next process in this sandbox).
+    val benchRoot = BenchEnv.benchRoot(nEvents)
     new java.io.File(benchRoot).mkdirs()
     // WAL parallelism is fixed (64 files/segment) so every parallelism
     // level reads identically-split input with enough splits for 32 cores
     val cfg = EventGen.Config(
       nEvents = nEvents, nUrls = math.max(1000L, nEvents / 20),
       nDomains = 200, seed = 42, skew = 2.0, parallelism = 64)
-    val walDir = s"$benchRoot/graft-bench-wal-$nEvents-$nBatches-w${cfg.minWords}-${cfg.maxWords}-p64"
+    val walName = BenchEnv.walKey(nEvents, nBatches, cfg.minWords, cfg.maxWords)
+    BenchEnv.vacuum(benchRoot, walName)
+    val walDir = s"$benchRoot/$walName"
     val marker = new java.io.File(s"$walDir/_SUCCESS_ALL")
     if (!marker.exists()) {
       EventGen.writeWalSegments(spark, cfg, walDir, nBatches)
@@ -146,6 +164,13 @@ object Bench {
     }
     probeOnce() // warm
 
+    val cdcNode = rootNode.putObject("cdc")
+    cdcNode.put("events", nEvents)
+    cdcNode.put("batches", nBatches)
+    cdcNode.put("cpus", cpus.toInt)
+    val runsNode = cdcNode.putArray("runs")
+    val probeRunsNode = cdcNode.putArray("probe_runs")
+
     // ≥3 alternated (probe, merge-apply) rounds: the headline is the best
     // run; probe_normalized rescales each run by how much slower its
     // adjacent probe ran vs the best recorded probe window for this config
@@ -168,6 +193,8 @@ object Bench {
       System.err.println(f"[bench] run $i: probe $probeSecI%.3f s, mor $s%.3f s")
       val p = new org.apache.hadoop.fs.Path(new java.io.File(d).getParent)
       p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+      runsNode.add(r3(s)); probeRunsNode.add(r3(probeSecI))
+      partial.flush() // per-run evidence survives a mid-CDC kill
       (s, probeSecI)
     }
     val cdcSec = runPairs.map(_._1).min
@@ -179,8 +206,17 @@ object Bench {
     val normalizedRuns = runPairs.map { case (s, ps) =>
       (nEvents / s) * (probeRefEps / (nEvents / ps))
     }
-    val probeNormalized = normalizedRuns.max
-    val probeNormalizedMedian = normalizedRuns.sorted.apply(normalizedRuns.size / 2)
+    val probeSec = runPairs.map(_._2).min
+    record("cdc_merge_apply", cdcSec)
+    cdcNode.put("seconds", r3(cdcSec))
+    cdcNode.put("events_per_sec", r1d(eventsPerSec))
+    cdcNode.put("probe_ref_events_per_sec", r1d(probeRefEps))
+    cdcNode.put("probe_normalized_events_per_sec", r1d(normalizedRuns.max))
+    cdcNode.put("probe_normalized_median_events_per_sec",
+      r1d(normalizedRuns.sorted.apply(normalizedRuns.size / 2)))
+    cdcNode.put("probe_seconds", r3(probeSec))
+    cdcNode.put("probe_events_per_sec", r1d(nEvents / probeSec))
+    partial.flush()
 
     // copy-on-write comparison point (read-optimized mode)
     val cowDir = java.nio.file.Files
@@ -190,49 +226,15 @@ object Bench {
     val t1 = System.nanoTime()
     Engine.replaySegments(spark, segs, cowTable, mode = MergeApply.CopyOnWrite)
     val cowSec = (System.nanoTime() - t1) / 1e9
-
-    val probeSec = runPairs.map(_._2).min
+    record("cdc_merge_apply_cow", cowSec)
+    cdcNode.put("cow_seconds", r3(cowSec))
+    partial.flush()
 
     // clean the per-run table dirs (the WAL cache stays for reuse)
     for (d <- Seq(cowDir, warmDir)) {
       val p = new org.apache.hadoop.fs.Path(new java.io.File(d).getParent)
       p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
     }
-
-    val all = results ++ Seq(
-      "cdc_merge_apply" -> cdcSec, "cdc_merge_apply_cow" -> cowSec)
-    val total = all.map(_._2).sum
-
-    // rendered with Jackson (not string concatenation): exception messages
-    // routinely contain backslashes/control chars that break hand-built JSON
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def r3(v: Double) = math.rint(v * 1000) / 1000.0
-    def r1d(v: Double) = math.rint(v * 10) / 10.0
-    val rootNode = mapper.createObjectNode()
-    rootNode.put("metric", "total")
-    rootNode.put("value", r3(total))
-    rootNode.put("unit", "sec")
-    val qNode = rootNode.putObject("queries")
-    all.foreach { case (k, v) => qNode.put(k, r3(v)) }
-    val eNode = rootNode.putObject("errors")
-    errors.foreach { case (k, v) => eNode.put(k, v) }
-    rootNode.put("sf", sfDir)
-    val cdcNode = rootNode.putObject("cdc")
-    cdcNode.put("events", nEvents)
-    cdcNode.put("batches", nBatches)
-    cdcNode.put("seconds", r3(cdcSec))
-    cdcNode.put("events_per_sec", r1d(eventsPerSec))
-    val runsNode = cdcNode.putArray("runs")
-    runPairs.foreach { case (s, _) => runsNode.add(r3(s)) }
-    val probeRunsNode = cdcNode.putArray("probe_runs")
-    runPairs.foreach { case (_, p) => probeRunsNode.add(r3(p)) }
-    cdcNode.put("probe_ref_events_per_sec", r1d(probeRefEps))
-    cdcNode.put("probe_normalized_events_per_sec", r1d(probeNormalized))
-    cdcNode.put("probe_normalized_median_events_per_sec", r1d(probeNormalizedMedian))
-    cdcNode.put("cow_seconds", r3(cowSec))
-    cdcNode.put("probe_seconds", r3(probeSec))
-    cdcNode.put("probe_events_per_sec", r1d(nEvents / probeSec))
-    cdcNode.put("cpus", cpus.toInt)
 
     // incremental downstream recompute: derived-step full build vs
     // change-feed consumption of a 100-event change (cost O(changes) —
@@ -248,6 +250,7 @@ object Bench {
       incNode.put("derived_rows", rows)
       incNode.put("full_build_sec", r3(fullSec))
       incNode.put("incremental_sec", r3(incSec))
+      partial.flush()
       // fact ⋈ fact: two CDC upstreams, one side moves → one feed consumed
       val multiStore = java.nio.file.Files
         .createTempDirectory(java.nio.file.Paths.get(benchRoot), "incm").toString
@@ -264,7 +267,8 @@ object Bench {
       p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
     }
 
-    println(mapper.writeValueAsString(rootNode))
+    partial.flush()
+    println(partial.render)
     spark.stop()
   }
 }

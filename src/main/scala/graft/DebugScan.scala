@@ -4,14 +4,25 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch scaling probe: which stage scales with cores? (not part of the
-  * driver contract) */
+  * driver contract)
+  *
+  * Usage: DebugScan --wal <walDir> [--out <scratchDir>]
+  * (paths are required args, not hardcoded cache keys — a stale hardcoded
+  * key silently measures nothing after a cache-key change) */
 object DebugScan {
   def main(args: Array[String]): Unit = {
+    val argMap = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val wal = argMap.getOrElse("wal",
+      sys.error("DebugScan requires --wal <walDir> (a WAL written by Bench/EventGen)"))
+    val out = argMap.getOrElse("out",
+      sys.props("java.io.tmpdir") + "/graft-debugscan")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.local.dir", BenchEnv.sparkLocalDir(1000000L))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,7 +32,6 @@ object DebugScan {
       val t0 = System.nanoTime(); f
       println(f"[scan $cpus] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
-    val wal = "/dev/shm/graft-bench/graft-bench-wal-1000000-4-w120-480"
     val df = spark.read.schema(cdc.Engine.eventSchema)
       .option("recursiveFileLookup", "true").parquet(wal)
     time("scan+decode html bytes") {
@@ -40,7 +50,7 @@ object DebugScan {
         .write.format("noop").mode("overwrite").save()
     }
     time("parquet rewrite (flat)") {
-      df.write.mode("overwrite").parquet("/dev/shm/graft-bench/scan-rewrite")
+      df.write.mode("overwrite").parquet(s"$out/scan-rewrite")
     }
     time("pure payload repartition + noop") {
       df.repartition(pmod(xxhash64(col("url")), lit(32)))
@@ -57,7 +67,7 @@ object DebugScan {
         .withColumn("_bucket", pmod(xxhash64(col("url")), lit(32)).cast("int"))
         .repartition(col("_bucket")).sortWithinPartitions("url")
         .write.partitionBy("_bucket").mode("overwrite")
-        .parquet("/dev/shm/graft-bench/scan-rewrite2")
+        .parquet(s"$out/scan-rewrite2")
     }
     spark.stop()
   }

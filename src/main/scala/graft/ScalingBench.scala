@@ -20,13 +20,13 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
-  private def newSession(cpus: Int): SparkSession = {
+  private def newSession(cpus: Int, nEvents: Long): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.local.dir", BenchEnv.sparkLocalDir(nEvents))
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -40,17 +40,21 @@ object ScalingBench {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALING_ROUNDS", "3").toInt
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALING_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_SCALING_HI", "32").toInt
-    val benchRoot = "/dev/shm/graft-bench"
+    val benchRoot = BenchEnv.benchRoot(nEvents)
     new java.io.File(benchRoot).mkdirs()
 
     val cfg = EventGen.Config(
       nEvents = nEvents, nUrls = math.max(1000L, nEvents / 20),
       nDomains = 200, seed = 42, skew = 2.0, parallelism = 64)
-    val walDir = s"$benchRoot/wal-$nEvents-$nBatches-p64"
+    // SAME cache key as Bench (round-4 lesson: two key schemes meant old
+    // caches were never reused and never deleted — 24 GiB of tmpfs debris)
+    val walName = BenchEnv.walKey(nEvents, nBatches, cfg.minWords, cfg.maxWords)
+    BenchEnv.vacuum(benchRoot, walName)
+    val walDir = s"$benchRoot/$walName"
 
     // one-time WAL generation (not measured)
     locally {
-      val s = newSession(hi)
+      val s = newSession(hi, nEvents)
       if (!new java.io.File(s"$walDir/_SUCCESS_ALL").exists()) {
         EventGen.writeWalSegments(s, cfg, walDir, nBatches)
         new java.io.File(s"$walDir/_SUCCESS_ALL").createNewFile()
@@ -66,7 +70,7 @@ object ScalingBench {
     // alternate level order (lo,hi / hi,lo / ...) to cancel host drift
     for (r <- 0 to rounds;
          cpus <- if (r % 2 == 0) Seq(lo, hi) else Seq(hi, lo)) {
-      val spark = newSession(cpus)
+      val spark = newSession(cpus, nEvents)
       try {
         // warm-up (JIT warm after round 1, but keep it uniform)
         val warmDir = java.nio.file.Files

@@ -42,7 +42,11 @@ final case class Step(
     // analogue of the step's metadata yaml. Bumping ONLY metaVersion takes
     // the INSTANT path: sidecar re-stamp, no data rewrite.
     meta: Option[graft.model.TableMeta] = None,
-    metaVersion: String = ""
+    metaVersion: String = "",
+    // `data-private://` semantics (steps/__init__.py:248-249): the output is
+    // stamped non-public and the step is excluded from runs unless
+    // includePrivate; a PUBLIC step may never depend on a private one
+    isPrivate: Boolean = false
 )
 
 object Step {
@@ -50,7 +54,8 @@ object Step {
     * participates in dependency resolution and input checksums — downstream
     * steps go dirty when its snapshot advances — but is never built by the
     * DAG (the reference's snapshot:// source-step analogue). */
-  def external(id: String): Step = Step(id, Nil, "external", null)
+  def external(id: String, isPrivate: Boolean = false): Step =
+    Step(id, Nil, "external", null, isPrivate = isPrivate)
 }
 
 /** Downstream INCREMENTAL recompute — the CDC payoff the reference lacks
@@ -94,7 +99,12 @@ object IncrementalSpec {
 final case class RunReport(
     executed: Seq[String],
     skipped: Seq[String],
-    order: Seq[String]
+    order: Seq[String],
+    // continue-on-failure bookkeeping (command.py:779-827): steps whose body
+    // threw (id -> first error line), and steps skipped because an upstream
+    // failed — both stay dirty, independent branches keep building
+    failed: Seq[(String, String)] = Nil,
+    skippedDownstreamOfFailed: Seq[String] = Nil
 )
 
 class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
@@ -104,6 +114,16 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
     subset: Option[String] = None) {
   private val byId = steps.map(s => s.id -> s).toMap
   require(byId.size == steps.size, "duplicate step ids")
+  // public/private exclusivity (command.py:1044-1060): a public step
+  // depending on a private one would leak private data into a public output
+  locally {
+    val bad = for {
+      s <- steps if !s.isPrivate
+      d <- s.deps if byId.get(d).exists(_.isPrivate)
+    } yield s"${s.id} -> $d"
+    require(bad.isEmpty,
+      s"public steps may not depend on private steps: ${bad.mkString(", ")}")
+  }
 
   /** Kahn topological order; fails on cycles or missing deps. */
   def topoOrder(subset: Set[String] = byId.keySet): Seq[String] = {
@@ -210,25 +230,57 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
       includeRegex: String = ".*",
       force: Boolean = false,
       dryRun: Boolean = false,
-      downstream: Boolean = false
+      downstream: Boolean = false,
+      // --continue-on-failure (command.py:779-827): a failing step marks its
+      // downstream skipped-and-still-dirty; independent branches keep
+      // building; the report carries every failure instead of the first
+      // exception killing a 1000-step nightly build
+      continueOnFailure: Boolean = false,
+      // private steps excluded unless requested (the reference's --private)
+      includePrivate: Boolean = false
   ): RunReport = {
-    val order = topoOrder(select(includeRegex, downstream))
+    val selected = select(includeRegex, downstream)
+      .filter(id => includePrivate || !byId(id).isPrivate)
+    val order = topoOrder(selected)
     val executed = scala.collection.mutable.ArrayBuffer.empty[String]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val blocked = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dead = scala.collection.mutable.Set.empty[String] // failed or blocked
     for (id <- order) {
       val s = byId(id)
-      val dirty = s.run != null && (force || isDirty(id))
-      if (!dirty) skipped += id
-      else if (!dryRun) {
-        if (!runInstantIfPossible(spark, id) && !runIncrementalIfPossible(spark, id)) {
-          val inputs = s.deps.map(d => d -> readInput(spark, d)).toMap
-          val out = s.run(spark, inputs)
-          writeOutput(spark, id, out)
-        }
-        executed += id
-      } else executed += id
+      if (s.deps.exists(dead.contains)) {
+        // an upstream failed this run: building against its stale output
+        // would stamp a lineage that marks the failure consumed — skip, stay
+        // dirty, keep walking the independent branches
+        blocked += id; dead += id
+      } else {
+        val dirty = s.run != null && (force || isDirty(id))
+        if (!dirty) skipped += id
+        else if (!dryRun) {
+          try {
+            if (!runInstantIfPossible(spark, id) && !runIncrementalIfPossible(spark, id)) {
+              // capture every dep's snapshot id ONCE, before the step body
+              // builds its plans: a dep committing between plan-build and
+              // write must appear as next run's work, never silently stamped
+              // consumed in this run's lineage
+              val ids = currentDepIds(s)
+              val inputs = s.deps.map(d => d -> readInput(spark, d)).toMap
+              val out = s.run(spark, inputs)
+              writeOutput(spark, id, out, ids)
+            }
+            executed += id
+          } catch {
+            case scala.util.control.NonFatal(e) if continueOnFailure =>
+              val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.next().take(300)
+              System.err.println(s"[graft] step $id FAILED ($msg); continuing")
+              failed += id -> msg; dead += id
+          }
+        } else executed += id
+      }
     }
-    RunReport(executed.toSeq, skipped.toSeq, order)
+    RunReport(executed.toSeq, skipped.toSeq, order, failed.toSeq, blocked.toSeq)
   }
 
   /** External-input read with the SUBSET dev filter applied when its
@@ -260,7 +312,8 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
     val fresh = checksumFrom(s, ids)
     if (stored == fresh) return false // not dirty at all (caller guards)
     s.meta.foreach(m =>
-      graft.sources.TableIO.writeSidecar(s"${tableDir(id)}/metadata", m, "lake"))
+      graft.sources.TableIO.writeSidecar(s"${tableDir(id)}/metadata",
+        if (s.isPrivate) m.copy(isPublic = false) else m, "lake"))
     val meta = t.metadata
     val snapId = meta.currentSnapshotId.get + 1
     val snap = graft.lake.Snapshot(
@@ -344,7 +397,8 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
       if (t.exists) t.metadata.snapshots.map(_.lsnMax) else Nil
     }).getOrElse(Nil).foldLeft(0L)(math.max)
 
-  private def writeOutput(spark: SparkSession, id: String, df0: DataFrame): Unit = {
+  private def writeOutput(spark: SparkSession, id: String, df0: DataFrame,
+      depIds: Map[String, Long]): Unit = {
     import graft.lake._
     import org.apache.spark.sql.functions._
     val t = table(id)
@@ -381,7 +435,7 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
       .write.mode("overwrite").partitionBy("_bucket") // clobber crash debris (self-healing)
       .parquet(t.absolute(snapDirRel))
     val files = t.listDataFiles(snapDirRel, meta.currentSchemaVersion, spark)
-    val ids = currentDepIds(step)
+    val ids = depIds // captured by the caller BEFORE the step body ran
     val snap = Snapshot(
       snapshotId = snapId, parentId = meta.currentSnapshotId,
       stepId = id, batchId = snapId,
@@ -393,7 +447,14 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
       inputChecksum = Some(checksumFrom(step, ids)))
     t.commit(meta.copy(version = meta.version + 1,
       currentSnapshotId = Some(snapId), snapshots = meta.snapshots :+ snap))
-    step.meta.foreach(m =>
+    // private steps stamp their output non-public (DataStepPrivate,
+    // tests/test_steps.py:240-245) — even when the step declares no meta
+    val sidecarMeta =
+      if (step.isPrivate)
+        Some(step.meta.getOrElse(graft.model.TableMeta(shortName = id))
+          .copy(isPublic = false))
+      else step.meta
+    sidecarMeta.foreach(m =>
       graft.sources.TableIO.writeSidecar(s"${tableDir(id)}/metadata", m, "lake"))
   }
 }

@@ -423,7 +423,10 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
       readRaw(spark, m, added,
         extra = Seq(
           op.as("_op"),
-          regexp_extract(input_file_name(), "/snap-(\\d+)/", 1)
+          // Greedy `.*` anchors to the LAST `/data/snap-<n>/` segment — a
+          // lake rooted under a scratch dir whose own path contains
+          // `/snap-<n>/` must not stamp rows with the outer number.
+          regexp_extract(input_file_name(), ".*/data/snap-(\\d+)/", 1)
             .cast("long").as("_snapshot_id")))
   }
 

@@ -64,5 +64,8 @@ final case class TableMeta(
     shortName: String,
     title: Option[String] = None,
     primaryKey: Seq[String] = Nil,
-    fields: Map[String, VariableMeta] = Map.empty
+    fields: Map[String, VariableMeta] = Map.empty,
+    // the reference's DatasetMeta.is_public (meta.py): private-step outputs
+    // are stamped non-public and must never be depended on by public steps
+    isPublic: Boolean = true
 )

@@ -302,8 +302,8 @@ object Grapher {
       dimCols: Seq[String],
       valueCols: Seq[String]
   ): DataFrame = {
-    val Sep = ""
-    val NullMark = " null"
+    val Sep = "\u0001"
+    val NullMark = "\u0000null"
     val keyOf: (String, Map[String, String]) => String = (c, dims) =>
       (c +: dimCols.map(d => dims.getOrElse(d, NullMark))).mkString(Sep)
     val nameByKey: Map[String, String] =
@@ -324,7 +324,25 @@ object Grapher {
       entities: DataFrame,
       outDir: String,
       dimCols: Seq[String] = Nil
-  ): Seq[String] = {
+  ): Seq[String] = publishDetailed(mt, entities, outDir, dimCols).emitted
+
+  /** What a publish actually did: every emitted variable, the subset whose
+    * DATA changed (partition dir rewritten), the metadata-only updates
+    * (sidecar re-stamped, zero data IO), and the checksum-gated skips
+    * (nothing touched). */
+  final case class PublishReport(
+      emitted: Seq[String], written: Seq[String],
+      metaOnly: Seq[String], skipped: Seq[String])
+
+  private def checksumPath(outDir: String, name: String) =
+    new org.apache.hadoop.fs.Path(s"$outDir/_meta/variable=$name/_checksums.json")
+
+  def publishDetailed(
+      mt: MetaTable,
+      entities: DataFrame,
+      outDir: String,
+      dimCols: Seq[String] = Nil
+  ): PublishReport = {
     val spark = mt.df.sparkSession
     val adapted = adaptTableForGrapher(mt, entities)
     val entityCols = Seq("entityId", "entityCode", "entityName", "year")
@@ -333,27 +351,88 @@ object Grapher {
       .filterNot(c => entityCols.contains(c) || dimCols.contains(c))
     val entries = yieldWideEntries(adapted, entityCols, dimCols, valueCols)
     val long = publishLong(adapted.df, entries, entityCols, dimCols, valueCols)
-    long
-      .repartition(col("variable"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("variable")
-      .parquet(outDir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // per-variable metadata sidecar (bounded driver loop over variables) —
-    // under `_meta/` so Spark's file index never sees it as data
-    entries.foreach { e =>
+    // ---- checksum gate (to_db.py:209-220): skip rewriting variables whose
+    // data AND metadata are unchanged since the last publish. Data hash is
+    // order-invariant (sum of row hashes + count fold, to_db.py:378-380),
+    // computed for ALL variables in ONE map-side-combinable aggregation over
+    // the melted frame (output is variable-count-sized, never row-sized);
+    // the metadata hash is a driver-side md5 of the rendered meta. At 100 TB
+    // the win is write amplification: a republish with one changed column
+    // rewrites one partition dir, not every variable's.
+    val hashRows = long
+      .select(col("variable"),
+        Checksums.rowHash(long, entityCols :+ "value")
+          .cast("decimal(38,0)").as("h"))
+      .groupBy("variable")
+      .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    val dataHash: Map[String, String] = hashRows.map { r =>
+      val s = if (r.isNullAt(1)) 0L else r.getDecimal(1).toBigInteger.longValue()
+      r.getString(0) -> java.lang.Long.toHexString(
+        s ^ (r.getLong(2) * 0x9e3779b97f4a7c15L))
+    }.toMap
+    def metaHashOf(e: WideEntry): String =
+      Checksums.md5Hex((e.shortName, e.meta, entityCols).toString)
+    // previous checksums are trusted only if the variable's DATA dir still
+    // exists — a checksum whose data vanished must force a rewrite
+    def prevChecksums(name: String): Option[(String, String)] = {
+      val p = checksumPath(outDir, name)
+      if (!fs.exists(p) ||
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/variable=$name")))
+        None
+      else {
+        val in = fs.open(p)
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+          Some((node.get("data").asText(), node.get("meta").asText()))
+        } finally in.close()
+      }
+    }
+    // the data gate and the metadata gate are independent, like the
+    // reference's separate data_values / variables upserts: a metadata edit
+    // re-stamps the sidecar with zero data IO, a data edit rewrites exactly
+    // its own partition dir
+    val prev = entries.map(e => e.shortName -> prevChecksums(e.shortName)).toMap
+    val dataChanged = entries.filterNot(e => prev(e.shortName).exists(
+      _._1 == dataHash.getOrElse(e.shortName, "absent")))
+    val metaOnly = entries.filter(e => prev(e.shortName).exists(p =>
+      p._1 == dataHash.getOrElse(e.shortName, "absent") && p._2 != metaHashOf(e)))
+    val skippedEntries = entries.filter(e => prev(e.shortName).contains(
+      (dataHash.getOrElse(e.shortName, "absent"), metaHashOf(e))))
+
+    if (dataChanged.nonEmpty) {
+      val changedNames = dataChanged.map(_.shortName)
+      long
+        .where(col("variable").isin(changedNames: _*))
+        .repartition(col("variable"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("variable")
+        .parquet(outDir)
+    }
+
+    // per-variable metadata sidecar + checksums for the CHANGED variables
+    // only (bounded driver loop) — under `_meta/` so Spark's file index
+    // never sees it as data. Checksums land after data+sidecar: a crash
+    // between leaves a stale checksum that only costs one extra rewrite.
+    (dataChanged ++ metaOnly).foreach { e =>
       graft.sources.TableIO.writeSidecar(
         s"$outDir/_meta/variable=${e.shortName}",
         graft.model.TableMeta(e.shortName, title = e.meta.title,
           primaryKey = entityCols, fields = Map(e.shortName -> e.meta)),
         "parquet")
+      val out = fs.create(checksumPath(outDir, e.shortName), true)
+      try out.write(
+        s"""{"data":"${dataHash.getOrElse(e.shortName, "absent")}","meta":"${metaHashOf(e)}"}"""
+          .getBytes("UTF-8"))
+      finally out.close()
     }
 
     // ghost cleanup: delete variable dirs not re-emitted (to_db.py:416)
     val emitted = entries.map(_.shortName).toSet
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (root <- Seq(new org.apache.hadoop.fs.Path(outDir),
         new org.apache.hadoop.fs.Path(outDir, "_meta")) if fs.exists(root))
       fs.listStatus(root).foreach { st =>
@@ -362,6 +441,7 @@ object Grapher {
             !emitted.contains(n.stripPrefix("variable=")))
           fs.delete(st.getPath, true)
       }
-    entries.map(_.shortName)
+    PublishReport(entries.map(_.shortName), dataChanged.map(_.shortName),
+      metaOnly.map(_.shortName), skippedEntries.map(_.shortName))
   }
 }

@@ -56,30 +56,40 @@ object FeatherIO {
   /** Decode one feather file's bytes into Spark-external Row values —
     * STREAMING per Arrow record batch: only the current batch's vectors are
     * decoded at a time (per-file heap = raw bytes + one batch, not the full
-    * decoded row set). The reader/allocator close when the iterator drains
-    * (Spark consumes mapPartitions iterators fully). */
+    * decoded row set). Close is guaranteed two ways: on iterator drain (the
+    * common full-consume path) AND via a task completion listener — Spark
+    * does NOT always drain mapPartitions iterators (limit/take/show stop
+    * early; task failures abort mid-partition), and the Arrow allocator
+    * holds direct memory that a GC never reclaims. */
   private def decode(bytes: Array[Byte], schema: StructType): Iterator[Row] = {
     val allocator = new RootAllocator()
     val reader = new ArrowFileReader(
       new ByteArrayReadableSeekableByteChannel(bytes), allocator,
       CommonsCompressionFactory.INSTANCE)
     val root = reader.getVectorSchemaRoot
+    val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def close(): Unit =
+      if (closed.compareAndSet(false, true)) { reader.close(); allocator.close() }
+    // Executor path: tie cleanup to the task lifecycle so limit/take/failure
+    // can't leak; driver-side (tests, schema probes) TaskContext is null and
+    // the drain path below closes.
+    Option(org.apache.spark.TaskContext.get()).foreach { tc =>
+      tc.addTaskCompletionListener[Unit](_ => close())
+      tc.addTaskFailureListener((_, _) => close())
+    }
     new Iterator[Row] {
       private var vectors: Array[FieldVector] = Array.empty
       private var rowIdx = 0
       private var rowCount = 0
-      private var closed = false
-      private def close(): Unit =
-        if (!closed) { closed = true; reader.close(); allocator.close() }
       private def advance(): Boolean = {
-        while (rowIdx >= rowCount && !closed) {
+        while (rowIdx >= rowCount && !closed.get()) {
           if (reader.loadNextBatch()) {
             vectors = schema.fields.map(f => root.getVector(f.name))
             rowCount = root.getRowCount
             rowIdx = 0
           } else close()
         }
-        !closed
+        !closed.get()
       }
       override def hasNext: Boolean = rowIdx < rowCount || advance()
       override def next(): Row = {

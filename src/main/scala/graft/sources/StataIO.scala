@@ -96,11 +96,25 @@ object StataIO {
     StructType(m.names.zip(m.types).map { case (n, t) => StructField(n, sparkType(t)) })
   }
 
-  /** Streaming row iterator over one file's bytes. */
-  private def decode(bytes: Array[Byte]): Iterator[Row] = {
+  /** Streaming row iterator over one file's bytes. `expected` (when given)
+    * is the driver-side schema every file in a glob must match — a .dta set
+    * with differing column order/types must fail loudly, not silently write
+    * values into the wrong columns. */
+  private def decode(bytes: Array[Byte], expected: Option[StructType] = None): Iterator[Row] = {
     val m = parseMeta(bytes)
+    expected.foreach { exp =>
+      val got = StructType(m.names.zip(m.types).map { case (n, t) => StructField(n, sparkType(t)) })
+      require(got == exp,
+        s"dta glob schema mismatch: file has ${got.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")} " +
+        s"but first file had ${exp.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")}")
+    }
     val dataAt = findTag(bytes, "<data>") + "<data>".length
-    val rowWidth = m.types.map(width).sum
+    val rowWidth = m.types.map(width).sum.toLong
+    // Long-arithmetic bounds check: a corrupt header claiming huge nRows must
+    // fail with a clear error, not wrap an Int offset into garbage reads.
+    require(dataAt + m.nRows * rowWidth <= bytes.length,
+      s"dta data section out of bounds: need ${dataAt + m.nRows * rowWidth} bytes " +
+      s"(${m.nRows} rows x $rowWidth), file has ${bytes.length}")
     val order = if (m.bigEndian) java.nio.ByteOrder.BIG_ENDIAN
                 else java.nio.ByteOrder.LITTLE_ENDIAN
     val charset = if (m.release == 118) "UTF-8" else "ISO-8859-1"
@@ -108,7 +122,7 @@ object StataIO {
       private var r = 0L
       override def hasNext: Boolean = r < m.nRows
       override def next(): Row = {
-        var off = dataAt + (r * rowWidth).toInt
+        var off = (dataAt + r * rowWidth).toInt
         val vals = new Array[Any](m.nVars)
         var i = 0
         while (i < m.nVars) {
@@ -148,7 +162,7 @@ object StataIO {
     val schema = sparkSchema(first)
     val enc = Encoders.row(schema)
     files.select("content").mapPartitions { it =>
-      it.flatMap(r => decode(r.getAs[Array[Byte]](0)))
+      it.flatMap(r => decode(r.getAs[Array[Byte]](0), Some(schema)))
     }(enc)
   }
 }

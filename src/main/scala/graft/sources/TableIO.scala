@@ -130,6 +130,7 @@ object TableIO {
     n.put("short_name", meta.shortName)
     meta.title.foreach(n.put("title", _))
     n.put("format", format)
+    n.put("is_public", meta.isPublic)
     val pk = n.putArray("primary_key")
     meta.primaryKey.foreach(pk.add)
     val fields = n.putObject("fields")
@@ -173,7 +174,8 @@ object TableIO {
       title = opt(n, "title"),
       primaryKey = Option(n.get("primary_key"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
-      fields = fields)
+      fields = fields,
+      isPublic = Option(n.get("is_public")).forall(_.asBoolean()))
     (meta, opt(n, "format").getOrElse("parquet"))
   }
 }

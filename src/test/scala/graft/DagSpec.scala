@@ -299,4 +299,93 @@ class DagSpec extends SparkSpec {
       Step("x", Seq("nope"), "v", (_, _) => null)), tmpDir("dag5"))
     intercept[IllegalArgumentException] { missing.topoOrder() }
   }
+
+  test("continue-on-failure: diamond builds the healthy side, reports the broken one") {
+    // command.py:779-827 — a failing step skips its downstream, independent
+    // branches keep building, the report carries the failure
+    val store = tmpDir("dag-cof")
+    def mk(leftFails: Boolean) = new StepDag(Seq(
+      Step("root", Nil, "v1", (s, _) => {
+        import s.implicits._; Seq(("k1", 1.0)).toDF("k", "v")
+      }),
+      Step("left", Seq("root"), "v1", (_, in) =>
+        if (leftFails) sys.error("boom: left is broken")
+        else in("root").withColumn("v", col("v") * 2)),
+      Step("right", Seq("root"), "v1", (_, in) =>
+        in("root").withColumn("v", col("v") * 3)),
+      Step("sink", Seq("left"), "v1", (_, in) => in("left"))
+    ), store)
+
+    val r = mk(leftFails = true).run(spark, continueOnFailure = true)
+    assert(r.executed == Seq("root", "right"))
+    assert(r.failed.map(_._1) == Seq("left"))
+    assert(r.failed.head._2.contains("boom"))
+    assert(r.skippedDownstreamOfFailed == Seq("sink"))
+    // the healthy branch committed; the broken one (and its downstream) stay
+    // dirty and build once fixed
+    val r2 = mk(leftFails = false).run(spark, continueOnFailure = true)
+    assert(r2.executed == Seq("left", "sink") && r2.failed.isEmpty)
+    assert(r2.skipped.toSet == Set("root", "right"))
+    // default behavior (no flag) still throws
+    intercept[RuntimeException] {
+      mk(leftFails = true).run(spark, force = true)
+    }
+  }
+
+  test("full build captures dep snapshot ids BEFORE the step body runs") {
+    // What's-wrong #2 (r4): a dep committing between plan-build and write
+    // must be NEXT run's work — the lineage must never stamp a snapshot id
+    // whose data was not read
+    val store = tmpDir("dag-race")
+    def commitDep(tag: String): Unit = new StepDag(Seq(
+      Step("dep", Nil, s"v-$tag", (s, _) => {
+        import s.implicits._; Seq(("k1", tag)).toDF("k", "v")
+      })), store).run(spark, force = true)
+    commitDep("first")
+    var raced = false
+    val racing = new StepDag(Seq(
+      Step.external("dep"),
+      Step("out", Seq("dep"), "v1", (s, in) => {
+        // simulate a concurrent upstream commit mid-step-body (once)
+        if (!raced) { raced = true; commitDep("second") }
+        in("dep")
+      })), store)
+    val r = racing.run(spark)
+    assert(r.executed.contains("out"))
+    // the mid-body commit advanced dep's snapshot AFTER `out` captured its
+    // ids → `out` must still be dirty (the new snapshot is unconsumed)
+    assert(racing.isDirty("out"),
+      "a dep snapshot committed mid-build must not be stamped consumed")
+    val r2 = racing.run(spark)
+    assert(r2.executed == Seq("out"))
+    assert(!racing.isDirty("out"))
+  }
+
+  test("private steps: validation, exclusion by default, non-public sidecar") {
+    // tests/test_steps.py:240-245 + command.py:1044-1060
+    val store = tmpDir("dag-priv")
+    // a PUBLIC step depending on a PRIVATE one is rejected at construction
+    intercept[IllegalArgumentException] {
+      new StepDag(Seq(
+        Step("secret", Nil, "v1", (s, _) => {
+          import s.implicits._; Seq(1).toDF("v")
+        }, isPrivate = true),
+        Step("open", Seq("secret"), "v1", (_, in) => in("secret"))), store)
+    }
+    // private may depend on public; runs only with includePrivate
+    val dag = new StepDag(Seq(
+      Step("pub", Nil, "v1", (s, _) => {
+        import s.implicits._; Seq(("k1", 1.0)).toDF("k", "v")
+      }),
+      Step("secret", Seq("pub"), "v1", (_, in) => in("pub"),
+        isPrivate = true)), store)
+    val r1 = dag.run(spark)
+    assert(r1.executed == Seq("pub") && !r1.order.contains("secret"))
+    val r2 = dag.run(spark, includePrivate = true)
+    assert(r2.executed == Seq("secret"))
+    // the private output's sidecar is stamped non-public (DataStepPrivate)
+    val meta = dag.tableMeta(spark, "secret")
+    assert(meta.exists(!_.isPublic))
+    assert(dag.tableMeta(spark, "pub").forall(_.isPublic))
+  }
 }

@@ -248,4 +248,52 @@ class GrapherSpec extends SparkSpec {
     assert(um.mapped == Map("gdp" -> "gdp"))
     assert(um.removed == Seq("pop") && um.added.isEmpty)
   }
+
+  test("publish: checksum gate — unchanged skips, one changed column rewrites one dir") {
+    import graft.meta.MetaTable
+    import graft.model.{TableMeta, VariableMeta}
+    def mtOf(df: org.apache.spark.sql.DataFrame, gdpTitle: String) =
+      MetaTable(df, TableMeta("t", fields = Map(
+        "gdp" -> VariableMeta(title = Some(gdpTitle)),
+        "pop" -> VariableMeta(title = Some("Population")))))
+    val garden = Seq(
+      ("France", 2020, 1.5, 67.0), ("Germany", 2020, 3.5, 83.0)
+    ).toDF("country", "year", "gdp", "pop")
+    val out = tmpDir("grapher-gate")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(v: String): Map[String, Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$out/variable=$v")
+      fs.listStatus(p).filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+        .map(st => st.getPath.toString -> st.getModificationTime).toMap
+    }
+
+    val r1 = Grapher.publishDetailed(mtOf(garden, "GDP"), entities, out)
+    assert(r1.written.toSet == Set("gdp", "pop") && r1.skipped.isEmpty)
+    val before = Map("gdp" -> dataFiles("gdp"), "pop" -> dataFiles("pop"))
+
+    // identical republish: checksum-gated, ZERO data files rewritten
+    val r2 = Grapher.publishDetailed(mtOf(garden, "GDP"), entities, out)
+    assert(r2.written.isEmpty && r2.metaOnly.isEmpty)
+    assert(r2.skipped.toSet == Set("gdp", "pop"))
+    assert(dataFiles("gdp") == before("gdp") && dataFiles("pop") == before("pop"))
+
+    // one changed column: exactly that variable's dir is rewritten
+    val garden2 = Seq(
+      ("France", 2020, 9.9, 67.0), ("Germany", 2020, 3.5, 83.0)
+    ).toDF("country", "year", "gdp", "pop")
+    val r3 = Grapher.publishDetailed(mtOf(garden2, "GDP"), entities, out)
+    assert(r3.written == Seq("gdp") && r3.skipped == Seq("pop"))
+    assert(dataFiles("pop") == before("pop"), "pop dir must be untouched")
+    assert(Grapher.readWideTable(spark, out, "gdp")
+      .select("gdp").as[Double].collect().toSet == Set(9.9, 3.5))
+
+    // metadata-only edit: sidecar re-stamped, zero data IO
+    val gdpAfter = dataFiles("gdp")
+    val r4 = Grapher.publishDetailed(mtOf(garden2, "GDP v2"), entities, out)
+    assert(r4.metaOnly == Seq("gdp") && r4.written.isEmpty)
+    assert(dataFiles("gdp") == gdpAfter)
+    val (meta, _) = graft.sources.TableIO.readSidecar(spark, s"$out/_meta/variable=gdp")
+    assert(meta.fields("gdp").title.contains("GDP v2"))
+  }
 }

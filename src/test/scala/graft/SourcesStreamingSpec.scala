@@ -222,6 +222,21 @@ class SourcesStreamingSpec extends SparkSpec {
     }
   }
 
+  test("StataIO: a glob of .dta files with differing schemas fails loudly") {
+    import graft.sources.StataIO
+    // ADVICE r4: schema comes from the first file, so a glob mixing schemas
+    // must throw, never silently write values into the wrong columns
+    val dir = tmpDir("stata-glob")
+    for (f <- Seq("fixture117.dta", "mismatch117.dta"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(getClass.getResource(s"/stata/$f").getPath),
+        java.nio.file.Paths.get(dir, f))
+    val e = intercept[Exception] { StataIO.read(spark, dir).collect() }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(messages.contains("schema mismatch"), s"got: $messages")
+  }
+
   test("readFwf: trailing newline adds no phantom row; interior blanks kept") {
     val dir = tmpDir("fwf-nl")
     // the NORMAL file shape: ends with a newline
