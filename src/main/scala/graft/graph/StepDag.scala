@@ -104,7 +104,9 @@ final case class RunReport(
     // threw (id -> first error line), and steps skipped because an upstream
     // failed — both stay dirty, independent branches keep building
     failed: Seq[(String, String)] = Nil,
-    skippedDownstreamOfFailed: Seq[String] = Nil
+    skippedDownstreamOfFailed: Seq[String] = Nil,
+    // wall seconds per executed step (command.py:921 execution-time ledger)
+    durations: Map[String, Double] = Map.empty
 )
 
 class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
@@ -247,6 +249,7 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
     val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val blocked = scala.collection.mutable.ArrayBuffer.empty[String]
     val dead = scala.collection.mutable.Set.empty[String] // failed or blocked
+    val durations = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (id <- order) {
       val s = byId(id)
       if (s.deps.exists(dead.contains)) {
@@ -258,6 +261,7 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
         val dirty = s.run != null && (force || isDirty(id))
         if (!dirty) skipped += id
         else if (!dryRun) {
+          val t0 = System.nanoTime()
           try {
             if (!runInstantIfPossible(spark, id) && !runIncrementalIfPossible(spark, id)) {
               // capture every dep's snapshot id ONCE, before the step body
@@ -270,6 +274,7 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
               writeOutput(spark, id, out, ids)
             }
             executed += id
+            durations(id) = (System.nanoTime() - t0) / 1e9
           } catch {
             case scala.util.control.NonFatal(e) if continueOnFailure =>
               val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -280,7 +285,66 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
         } else executed += id
       }
     }
-    RunReport(executed.toSeq, skipped.toSeq, order, failed.toSeq, blocked.toSeq)
+    if (durations.nonEmpty) writeExecutionTimes(durations.toMap)
+    RunReport(executed.toSeq, skipped.toSeq, order, failed.toSeq, blocked.toSeq,
+      durations.toMap)
+  }
+
+  // ------------------------------------------------ execution-time ledger
+  // (command.py:921-952 `.execution_time.json`): per-step wall seconds,
+  // merged across runs, used to estimate how long a pending build will take.
+
+  private def executionTimeFile = s"$storeDir/.execution_time.json"
+
+  /** Stored per-step wall seconds from previous runs (merged, persistent). */
+  def executionTimes: Map[String, Double] = {
+    val f = new java.io.File(executionTimeFile)
+    if (!f.exists()) Map.empty
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val out = scala.collection.mutable.Map.empty[String, Double]
+      n.properties().forEach(e => out(e.getKey) = e.getValue.asDouble())
+      out.toMap
+    }
+  }
+
+  private def writeExecutionTimes(fresh: Map[String, Double]): Unit = {
+    val merged = executionTimes ++ fresh
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.createObjectNode()
+    merged.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      n.put(k, math.rint(v * 1000) / 1000.0)
+    }
+    new java.io.File(storeDir).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(executionTimeFile),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(n))
+  }
+
+  /** Recorded time for `id`, falling back to another VERSION of the same
+    * step (`_get_execution_time`, command.py:940-952 — the version is the
+    * second-to-last `/` segment of a step id like channel/ns/version/name). */
+  def estimatedTime(id: String): Option[Double] = {
+    val times = executionTimes
+    times.get(id).orElse {
+      def ident(s: String) = {
+        val parts = s.split('/')
+        if (parts.length >= 2) (parts.dropRight(2) :+ parts.last).mkString("/")
+        else s
+      }
+      times.collectFirst { case (k, v) if ident(k) == ident(id) => v }
+    }
+  }
+
+  /** ETA for the steps a `run` with these arguments would execute: total
+    * known seconds + how many pending steps have no recorded time. */
+  def eta(includeRegex: String = ".*", force: Boolean = false,
+      downstream: Boolean = false, includePrivate: Boolean = false
+  ): (Double, Int) = {
+    val pending = topoOrder(select(includeRegex, downstream)
+        .filter(id => includePrivate || !byId(id).isPrivate))
+      .filter(id => byId(id).run != null && (force || isDirty(id)))
+    val known = pending.flatMap(estimatedTime)
+    (known.sum, pending.size - known.size)
   }
 
   /** External-input read with the SUBSET dev filter applied when its

@@ -124,41 +124,15 @@ object MetaLayering {
 
   // ------------------------------------------------------------- render
 
-  private val VarPattern = raw"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}".r
-  private val IfPattern =
-    raw"(?s)\{%\s*if\s+(.+?)\s*%\}(.*?)((?:\{%\s*elif\s+.+?%\}.*?)*)(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}".r
-  private val ElifPattern = raw"(?s)\{%\s*elif\s+(.+?)\s*%\}((?:(?!\{%).)*)".r
-
-  private def evalCond(cond: String, dims: Map[String, String]): Boolean = {
-    val eq = raw"""([A-Za-z_][A-Za-z0-9_]*)\s*(==|!=)\s*['"](.*?)['"]""".r
-    cond.trim match {
-      case eq(name, op, lit) =>
-        val v = dims.getOrElse(name, "")
-        if (op == "==") v == lit else v != lit
-      case name => dims.get(name.trim).exists(_.nonEmpty) // truthiness
-    }
-  }
-
-  /** Render the Jinja subset: `{{ dim }}` substitution and a single-level
-    * `{% if %}/{% elif %}/{% else %}/{% endif %}` with `==`/`!=` string
-    * comparisons or bare-name truthiness (meta.py:526 dimension render). */
-  def render(template: String, dims: Map[String, String]): String = {
-    val afterIf = IfPattern.replaceAllIn(template, m => {
-      val chosen: String =
-        if (evalCond(m.group(1), dims)) m.group(2)
-        else {
-          val elifs = Option(m.group(3)).getOrElse("")
-          val hit = ElifPattern.findAllMatchIn(elifs)
-            .find(e => evalCond(e.group(1), dims))
-            .map(_.group(2))
-          hit.getOrElse(Option(m.group(4)).getOrElse(""))
-        }
-      scala.util.matching.Regex.quoteReplacement(chosen)
-    })
-    VarPattern.replaceAllIn(afterIf, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        dims.getOrElse(m.group(1), m.matched)))
-  }
+  /** Render the metadata template for one dimension combination — delegates
+    * to the [[Jinja]] subset engine (meta.py:526 dimension render; jinja.py's
+    * custom `<% %>`/`<< >>` delimiters AND the legacy `{% %}`/`{{ }}` ones;
+    * if/elif/else, set, macros, `~` concat, in/and/or/not, `is defined`,
+    * default/capitalize/lower/upper/title/trim filters — the constructs the
+    * reference's meta YAMLs measurably use). Unknown variables pass through
+    * untouched so un-dimensioned strings survive rendering. */
+  def render(template: String, dims: Map[String, String]): String =
+    Jinja.render(template, dims)
 
   /** Render every string value in a layered metadata dict (recursing into
     * nested dicts/lists) for one dimension combination — the reference's

@@ -361,6 +361,27 @@ class DagSpec extends SparkSpec {
     assert(!racing.isDirty("out"))
   }
 
+  test("execution-time ledger: persisted per step, ETA with version fallback") {
+    // command.py:921-952 `.execution_time.json`
+    val store = tmpDir("dag-eta")
+    val dag = mkDag(store)
+    val r = dag.run(spark)
+    assert(r.durations.keySet == Set("data/a", "data/b", "data/c"))
+    assert(r.durations.values.forall(_ > 0))
+    assert(dag.executionTimes.keySet == Set("data/a", "data/b", "data/c"))
+    // clean DAG: nothing pending
+    assert(dag.eta() == ((0.0, 0)))
+    // force: all three pending, all with recorded times
+    val (sec, unknown) = dag.eta(force = true)
+    assert(unknown == 0 && sec > 0)
+    // a NEW version of a recorded step estimates from the previous version
+    // (identifier strips the second-to-last path segment: `2024/a` and
+    // `data/a` share identifier `a`)
+    assert(dag.estimatedTime("2024/a") == dag.estimatedTime("data/a"))
+    assert(dag.estimatedTime("data/a").isDefined)
+    assert(dag.estimatedTime("never/ran/step").isEmpty)
+  }
+
   test("private steps: validation, exclusion by default, non-public sidecar") {
     // tests/test_steps.py:240-245 + command.py:1044-1060
     val store = tmpDir("dag-priv")
