@@ -53,6 +53,11 @@ object Bench {
       // task file serially on the driver — a hidden serial section that
       // grows with file count
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // A/B knob for the write stage: at 32 cores the merge is bandwidth-
+      // bound, not CPU-bound, so codec choice trades abundant CPU against
+      // scarce bytes-moved (see BASELINE.md round-5 scaling notes)
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

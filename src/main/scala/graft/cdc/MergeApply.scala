@@ -46,6 +46,17 @@ object MergeApply {
   case object CopyOnWrite extends MergeMode
   case object MergeOnRead extends MergeMode
 
+  /** Parquet codec for every lake data write (deltas, CoW, compaction,
+    * step outputs). Default zstd: the 32-core merge is BANDWIDTH-bound,
+    * not CPU-bound (BASELINE.md round-5 scaling §3), so the stronger
+    * codec's fewer bytes through the bus/FS beat snappy's cheaper CPU —
+    * measured +10% merge-apply throughput in a same-window A/B
+    * (zstd 256.7k vs snappy 232.8k ev/s at 2M events, local[32];
+    * lz4 244.0k, uncompressed 248.5k). Override via
+    * SPARK_GRAFT_PARQUET_CODEC for CPU-starved deployments. */
+  private[graft] def lakeCodec: String =
+    sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd")
+
   final case class MergeStats(
       batchId: Long,
       snapshotId: Long,
@@ -261,7 +272,8 @@ object MergeApply {
             sum(when(col("_deleted"), 1).otherwise(0)).as("dels"),
             (count(lit(1)).as("rows") +: bucketCountCols(b)): _*)
         (if (sortDelta) observed.sortWithinPartitions(col(key)) else observed)
-          .write.mode("overwrite").partitionBy("_bucket") // clobber crash debris (self-healing)
+          .write.mode("overwrite").option("compression", MergeApply.lakeCodec)
+          .partitionBy("_bucket") // clobber crash debris (self-healing)
           .parquet(table.absolute(snapDirRel))
         dbg("write done")
 
@@ -341,7 +353,8 @@ object MergeApply {
           .observe(obsRows, bucketCountCols(b).head, bucketCountCols(b).tail: _*)
           .repartition(col("_bucket"))
           .sortWithinPartitions(col(key))
-          .write.mode("overwrite").partitionBy("_bucket") // clobber crash debris (self-healing)
+          .write.mode("overwrite").option("compression", MergeApply.lakeCodec)
+          .partitionBy("_bucket") // clobber crash debris (self-healing)
           .parquet(table.absolute(snapDirRel))
         dbg("cow write done")
 
@@ -405,7 +418,8 @@ object MergeApply {
       .observe(obsRows, bucketCountCols(b).head, bucketCountCols(b).tail: _*)
       .repartition(col("_bucket"))
       .sortWithinPartitions(col(key))
-      .write.mode("overwrite").partitionBy("_bucket") // clobber crash debris (self-healing)
+      .write.mode("overwrite").option("compression", MergeApply.lakeCodec)
+          .partitionBy("_bucket") // clobber crash debris (self-healing)
       .parquet(table.absolute(snapDirRel))
 
     val newFiles = table.listDataFiles(snapDirRel, meta.currentSchemaVersion, spark,

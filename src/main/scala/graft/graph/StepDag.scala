@@ -496,7 +496,8 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
     df.withColumn("_bucket",
         pmod(xxhash64(col(meta.bucketColumn)), lit(meta.numBuckets)).cast("int"))
       .repartition(col("_bucket"))
-      .write.mode("overwrite").partitionBy("_bucket") // clobber crash debris (self-healing)
+      .write.mode("overwrite").option("compression", graft.cdc.MergeApply.lakeCodec)
+          .partitionBy("_bucket") // clobber crash debris (self-healing)
       .parquet(t.absolute(snapDirRel))
     val files = t.listDataFiles(snapDirRel, meta.currentSchemaVersion, spark)
     val ids = depIds // captured by the caller BEFORE the step body ran
