@@ -54,10 +54,15 @@ object BenchEnv {
   def vacuum(root: String, keepWalKey: String): Unit = {
     val dir = new java.io.File(root)
     if (!dir.isDirectory) return
-    // scratch dirs (per-run tables) are deleted only when old enough that no
-    // live run can own them — a concurrent bench's active mor/warm dir must
-    // survive another process's startup vacuum
+    // age-bounded: scratch dirs (per-run tables) die after 1 h — a
+    // concurrent bench's ACTIVE mor/warm dir must survive another process's
+    // startup vacuum; other-config WAL caches die after 3 h — a session
+    // alternating configs (bench at 2M, scaling at 16M) keeps both caches
+    // warm, while dead configs can never accumulate across days again
+    // (round-4 postmortem: 36 GiB of orphaned caches on tmpfs). The current
+    // key is always kept.
     val scratchAgeMs = 60L * 60 * 1000
+    val walAgeMs = 3L * 60 * 60 * 1000
     val now = System.currentTimeMillis()
     val stale = Option(dir.listFiles()).getOrElse(Array.empty).filter { f =>
       val n = f.getName
@@ -65,7 +70,7 @@ object BenchEnv {
       val isScratch =
         n.startsWith("warm") || n.startsWith("mor") || n.startsWith("cow") ||
         n.startsWith("incb") || n.startsWith("incm") || n.startsWith("scalewarm")
-      (isWal && n != keepWalKey) ||
+      (isWal && n != keepWalKey && now - f.lastModified() > walAgeMs) ||
         (isScratch && now - f.lastModified() > scratchAgeMs)
     }
     stale.foreach { f =>

@@ -21,16 +21,19 @@ class BenchEnvSpec extends AnyFunSuite {
       if (ageMs > 0) f.setLastModified(System.currentTimeMillis() - ageMs)
       f
     }
+    val day = 24L * 60 * 60 * 1000
     val keep = BenchEnv.walKey(2000000L, 4, 120, 480)
-    mk(keep)
-    mk(BenchEnv.walKey(1000000L, 4, 120, 480)) // old-key cache
-    mk("wal-8000000-4-p64")                    // legacy ScalingBench key
+    mk(keep, ageMs = 2 * day)                  // current key: kept at ANY age
+    val otherLive = BenchEnv.walKey(16000000L, 4, 120, 480)
+    mk(otherLive)                              // other config, warm (<3h): keep
+    mk(BenchEnv.walKey(1000000L, 4, 120, 480), ageMs = day) // dead config: drop
+    mk("wal-8000000-4-p64", ageMs = day)       // legacy ScalingBench key: drop
     mk("mor3-fresh")                           // live run's scratch: keep
     mk("warm-old", ageMs = 2L * 60 * 60 * 1000) // crashed run's scratch: drop
     mk("unrelated-dir")                        // never touched
     BenchEnv.vacuum(root.getAbsolutePath, keep)
     val left = root.listFiles().map(_.getName).toSet
-    assert(left == Set(keep, "mor3-fresh", "unrelated-dir"))
+    assert(left == Set(keep, otherLive, "mor3-fresh", "unrelated-dir"))
   }
 
   test("walKey is shared by Bench and ScalingBench configs (one cache)") {
