@@ -58,6 +58,8 @@ object Bench {
       // scarce bytes-moved (see BASELINE.md round-5 scaling notes)
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
+      .config("spark.hadoop.parquet.compression.codec.zstd.level",
+        sys.env.getOrElse("SPARK_GRAFT_ZSTD_LEVEL", "3"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
