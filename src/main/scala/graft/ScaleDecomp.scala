@@ -66,13 +66,26 @@ object ScaleDecomp {
           .agg(sum(length(col("t")))).collect()
         // the merge-apply compute shape (MergeApply.dedupBatch + winner
         // extraction), terminated in a noop sink; --join picks the semi-join
-        // strategy (broadcast = engine default, shuffle_hash, auto = AQE)
+        // strategy: broadcast (engine default), shuffle_hash, auto (AQE), or
+        // hashed (broadcast on xxhash64(url,lsn) — ~8 B/key instead of the
+        // full url string, shrinking the driver-built broadcast ~10×;
+        // collision-admitted extra rows are harmless on the MOR path because
+        // reads reconcile by max-LSN per key)
         val joinHint = argMap.getOrElse("join", "broadcast")
         def winners = {
-          val maxL = df.groupBy(col("url")).agg(max(col("lsn")).as("lsn"))
-          val rhs = if (joinHint == "auto") maxL else maxL.hint(joinHint)
-          df.join(rhs, Seq("url", "lsn"), "left_semi")
-            .withColumn("text", functions.TextExtract.extract_text(col("html")))
+          if (joinHint == "hashed") {
+            val maxH = df.groupBy(col("url")).agg(max(col("lsn")).as("lsn"))
+              .select(xxhash64(col("url"), col("lsn")).as("__wh"))
+            df.withColumn("__wh", xxhash64(col("url"), col("lsn")))
+              .join(broadcast(maxH), Seq("__wh"), "left_semi")
+              .drop("__wh")
+              .withColumn("text", functions.TextExtract.extract_text(col("html")))
+          } else {
+            val maxL = df.groupBy(col("url")).agg(max(col("lsn")).as("lsn"))
+            val rhs = if (joinHint == "auto") maxL else maxL.hint(joinHint)
+            df.join(rhs, Seq("url", "lsn"), "left_semi")
+              .withColumn("text", functions.TextExtract.extract_text(col("html")))
+          }
         }
         def dedup(): Unit =
           winners.write.format("noop").mode("overwrite").save()

@@ -121,16 +121,19 @@ object MergeApply {
     * contract); `saltBuckets` > 1 adds an explicit two-stage reduction for
     * pathological single-key floods (rarely needed given partial agg).
     */
+  /** Slim (key, max-LSN) winners of a batch — two-stage when salted. */
+  private def maxLsnOf(batch: DataFrame, key: String, saltBuckets: Int): DataFrame =
+    if (saltBuckets > 1)
+      batch
+        .groupBy(col(key), pmod(xxhash64(col("lsn")), lit(saltBuckets)).as("__salt"))
+        .agg(max(col("lsn")).as("lsn"))
+        .groupBy(col(key)).agg(max(col("lsn")).as("lsn"))
+    else
+      batch.groupBy(col(key)).agg(max(col("lsn")).as("lsn"))
+
   private def dedupBatch(batch: DataFrame, key: String,
       valueCols: Seq[String], saltBuckets: Int): DataFrame = {
-    val maxLsn =
-      if (saltBuckets > 1)
-        batch
-          .groupBy(col(key), pmod(xxhash64(col("lsn")), lit(saltBuckets)).as("__salt"))
-          .agg(max(col("lsn")).as("lsn"))
-          .groupBy(col(key)).agg(max(col("lsn")).as("lsn"))
-      else
-        batch.groupBy(col(key)).agg(max(col("lsn")).as("lsn"))
+    val maxLsn = maxLsnOf(batch, key, saltBuckets)
     // broadcast the slim (key, maxLsn) side: micro-batches are bounded, so
     // its size is bounded by batch key-cardinality × ~60B — the payload
     // side then never shuffles at all (measured: shuffled semi joins
@@ -237,8 +240,23 @@ object MergeApply {
         val snapDirRel = s"data/snap-$snapId"
         val obsM = Observation(s"mor-$batchId")
         dbg("pre-write")
+        //  - "hashed": like broadcast, but the semi join runs on a single
+        //    xxhash64(key, lsn) column, shrinking the driver-built broadcast
+        //    ~10× (8 B/key vs the full url string) — the broadcast build is
+        //    the measured Amdahl fraction of the compute path at 32 cores
+        //    (ScaleDecomp: probe scales 0.935, broadcast-dedup 0.445). A
+        //    hash collision admits a lower-LSN EXTRA row into the delta,
+        //    which is harmless HERE (and only here): every MOR delta read,
+        //    change feed, and compaction reconciles by max-LSN per key, so
+        //    the collided row always loses downstream. The CoW path writes
+        //    base files that are read UNRECONCILED — it must keep the exact
+        //    (key, lsn) join and never use this.
+        // default hashed (round-5): alternated engine A/B at 2M/local[32]
+        // gave hashed 279.1k/287.0k vs broadcast 275.0k/258.5k ev/s, and
+        // ScaleDecomp shows the gain concentrates exactly where the north
+        // rule needs it - the 32-core side (5.1 s vs 7.2 s dedup compute)
         val strategy = sys.props.getOrElse("graft.mor.dedup",
-          sys.env.getOrElse("SPARK_GRAFT_MOR_DEDUP", "broadcast"))
+          sys.env.getOrElse("SPARK_GRAFT_MOR_DEDUP", "hashed"))
         val deduped =
           if (strategy == "reduce") {
             val projected = observedBatch.select(
@@ -247,6 +265,18 @@ object MergeApply {
                 (col("op") === "D").as("_deleted"),
                 pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket")): _*)
             lwwReduceByKey(projected, key)
+          } else if (strategy == "hashed") {
+            val maxH = maxLsnOf(observedBatch, key, effectiveSalt)
+              .select(xxhash64(col(key), col("lsn")).as("__wh"))
+            observedBatch
+              .withColumn("__wh", xxhash64(col(key), col("lsn")))
+              .join(broadcast(maxH), Seq("__wh"), "left_semi")
+              .select(
+                (col(key) +: valueCols.map(col)) ++ Seq(
+                  col("lsn").as("_lsn"),
+                  (col("op") === "D").as("_deleted"),
+                  pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket")): _*)
+              .repartition(col("_bucket"))
           } else {
             source.select(
               (col(key) +:

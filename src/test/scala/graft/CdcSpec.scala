@@ -148,6 +148,27 @@ class CdcSpec extends SparkSpec {
     } finally System.clearProperty("graft.mor.dedup")
   }
 
+  test("MOR hashed-broadcast dedup strategy converges to the same state") {
+    // the xxhash64(key,lsn) semi join: a collision can admit an extra
+    // lower-LSN delta row, which read/compaction reconcile must absorb —
+    // final state equality is exactly the contract
+    val cfg = EventGen.Config(nEvents = 6000, nUrls = 400, seed = 78,
+      deleteRatio = 0.1, parallelism = 4)
+    val walDir = tmpDir("wal-hashed")
+    val segs = EventGen.writeWalSegments(spark, cfg, walDir, 3)
+    val events = spark.read.schema(Engine.eventSchema).parquet(walDir + "/*")
+    val want = checksum(Engine.goldenFinalState(events))
+    System.setProperty("graft.mor.dedup", "hashed")
+    try {
+      val t = Engine.createPagesTable(tmpDir("lake-hashed") + "/pages", 4)
+      Engine.replaySegments(spark, segs, t, mode = MergeApply.MergeOnRead)
+      assert(checksum(t.read(spark)) == want)
+      // compaction of hashed-written deltas reconciles to the same state too
+      MergeApply.compact(spark, t)
+      assert(checksum(t.read(spark)) == want)
+    } finally System.clearProperty("graft.mor.dedup")
+  }
+
   test("property: any batch split of the same log converges to the golden state") {
     val rnd = new scala.util.Random(97)
     val n = 600
