@@ -22,9 +22,12 @@ object BenchEnv {
   def walKey(nEvents: Long, nBatches: Int, minWords: Int, maxWords: Int): String =
     s"graft-bench-wal-$nEvents-$nBatches-w$minWords-$maxWords-p64"
 
-  /** Rough bytes the bench working set needs: WAL (~1.3 KB/event measured
-    * across the round-4 cache dirs) plus per-run table copies + shuffle. */
-  def workingSetBytes(nEvents: Long): Long = nEvents * 1300L * 4
+  /** Rough bytes of HEADROOM a bench run needs beyond what already exists:
+    * per-run table copies + shuffle blocks ≈ 2× the WAL's ~1.3 KB/event
+    * (the WAL itself is cached and already counted in used space — a 4×
+    * multiplier here once pushed a 16M-event run to silent disk fallback
+    * while 75 GB of tmpfs sat free, collapsing merge rates 4×). */
+  def workingSetBytes(nEvents: Long): Long = nEvents * 1300L * 2
 
   /** Bench root: tmpfs when it exists AND has headroom for the working set
     * (a real cluster does IO on per-executor NVMe; tmpfs locally removes the
@@ -38,12 +41,35 @@ object BenchEnv {
       else sys.props("java.io.tmpdir") + "/graft-bench"
     }
 
-  /** spark.local.dir (shuffle blocks): same policy, smaller footprint. */
+  /** spark.local.dir (shuffle blocks): same policy, smaller footprint.
+    * Before choosing, purge shuffle debris that SIGKILLed sessions leave
+    * behind (a killed run cleans nothing; 30 GB of orphaned blockmgr dirs
+    * on tmpfs is RAM stolen from the next run — measured round 5). */
   def sparkLocalDir(nEvents: Long): String = {
     val shm = new java.io.File("/dev/shm")
+    vacuumLocalDir("/dev/shm/spark-local")
+    vacuumLocalDir(sys.props("java.io.tmpdir") + "/spark-local")
     if (shm.isDirectory && shm.getUsableSpace > workingSetBytes(nEvents))
       "/dev/shm/spark-local"
     else sys.props("java.io.tmpdir") + "/spark-local"
+  }
+
+  /** Delete blockmgr-* / spark-* subdirs older than 2 h — crashed sessions'
+    * shuffle blocks. A live session's dirs are younger (our runs are <1 h);
+    * Spark recreates anything it needs. */
+  private def vacuumLocalDir(root: String): Unit = {
+    val dir = new java.io.File(root)
+    if (!dir.isDirectory) return
+    val cutoff = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if ((n.startsWith("blockmgr-") || n.startsWith("spark-")) &&
+          f.lastModified() < cutoff) {
+        System.err.println(s"[bench] vacuuming orphaned shuffle dir ${f.getAbsolutePath}")
+        val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+      }
+    }
   }
 
   /** Delete every cache/scratch dir under `root` that is not the WAL cache

@@ -107,6 +107,22 @@ class JinjaSpec extends AnyFunSuite {
     assert(Jinja.render("<< s | trim >>", Map("s" -> "  x ")) == "x")
   }
 
+  test("malformed templates terminate: render or throw, never hang or corrupt") {
+    val ctx = Map("x" -> "1", "a" -> "A")
+    def outcome(t: String): String =
+      try Jinja.render(t, ctx) catch { case e: Exception => "THREW" }
+    // plain text with template-ish noise must pass through untouched
+    assert(Jinja.render("text with { brace } and % signs", ctx)
+      == "text with { brace } and % signs")
+    assert(Jinja.render("'quotes' in \"text\"", ctx) == "'quotes' in \"text\"")
+    // malformed tags: any terminating outcome is acceptable, silence is not
+    for (t <- Seq("{% if x %}unclosed", "<% endif %>orphan", "<< a ~ >>",
+        "<% if x == 'a' and %>bad<% endif %>", "{{}}", "<< >>"))
+      outcome(t) // must return (not hang); value unspecified
+    // an unclosed if renders its taken branch
+    assert(outcome("{% if x %}body") == "body")
+  }
+
   test("MetaLayering.render delegates: old subset still renders identically") {
     import graft.meta.MetaLayering
     val t = "{% if sex == 'male' %}Men{% elif sex == 'female' %}Women" +
