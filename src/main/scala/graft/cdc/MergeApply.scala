@@ -67,6 +67,41 @@ object MergeApply {
       keptLate: Long
   )
 
+  /** Preimage table for bucket-aligned shuffles: v(k) is an int with
+    * pmod(murmur3(v(k)), b) == k, found by linear search (expected
+    * ~b·ln b probes, memoized per b). Murmur3 with seed 42 is exactly the
+    * hash Spark's HashPartitioning applies to an int partition expression,
+    * so repartitioning on v(_bucket) sends bucket k to shuffle partition k
+    * bijectively. */
+  private val alignedPreimages =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
+  private[graft] def bucketPreimages(b: Int): Array[Int] =
+    alignedPreimages.computeIfAbsent(b, _ => {
+      val out = Array.fill(b)(-1)
+      var found = 0
+      var v = 0
+      while (found < b) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+        val p = ((h % b) + b) % b
+        if (out(p) < 0) { out(p) = v; found += 1 }
+        v += 1
+      }
+      out
+    })
+
+  /** Bucket-aligned repartition for the delta/base writes: exactly one
+    * shuffle partition (→ one write task, one file) per bucket.
+    *
+    * A plain `repartition(col("_bucket"))` hashes the b distinct bucket
+    * values into `spark.sql.shuffle.partitions` slots — birthday collisions
+    * leave ~1/e of the write tasks empty and hand stragglers 2-3 buckets
+    * (guide §2.5: synthetic partition keys with too few distinct values;
+    * measured 20/32 occupied partitions at b=32). Mapping each bucket
+    * through its murmur3 preimage makes bucket→partition the identity: full
+    * write parallelism at every b, still deterministic under task retry. */
+  private[graft] def repartitionByBucket(df: DataFrame, b: Int): DataFrame =
+    df.repartition(b, element_at(lit(bucketPreimages(b)), col("_bucket") + 1))
+
   private def g(m: Map[String, Any], k: String): Long = m.get(k) match {
     case Some(null)    => 0L
     case Some(l: Long) => l
@@ -151,7 +186,7 @@ object MergeApply {
     * mapPartitions around the (mandatory) bucket shuffle — map-side combine
     * then final reduce, the classic reduceByKey shape on a DataFrame.
     * `_bucket` = hash(key) guarantees co-location of each key. */
-  private def lwwReduceByKey(df: DataFrame, key: String): DataFrame = {
+  private def lwwReduceByKey(df: DataFrame, key: String, b: Int): DataFrame = {
     import org.apache.spark.sql.Row
     val enc = org.apache.spark.sql.Encoders.row(df.schema)
     val keyIdx = df.schema.fieldIndex(key)
@@ -166,8 +201,8 @@ object MergeApply {
       import scala.jdk.CollectionConverters._
       m.values().iterator().asScala
     }
-    df.mapPartitions(reduceIter _)(enc) // map-side combine
-      .repartition(col("_bucket"))
+    repartitionByBucket(
+      df.mapPartitions(reduceIter _)(enc), b) // map-side combine
       .mapPartitions(reduceIter _)(enc) // final per-bucket reduce
   }
 
@@ -264,7 +299,7 @@ object MergeApply {
                 col("lsn").as("_lsn"),
                 (col("op") === "D").as("_deleted"),
                 pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket")): _*)
-            lwwReduceByKey(projected, key)
+            lwwReduceByKey(projected, key, b)
           } else if (strategy == "hashed") {
             val maxH = maxLsnOf(observedBatch, key, effectiveSalt)
               .select(xxhash64(col(key), col("lsn")).as("__wh"))
@@ -276,7 +311,7 @@ object MergeApply {
                   col("lsn").as("_lsn"),
                   (col("op") === "D").as("_deleted"),
                   pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket")): _*)
-              .repartition(col("_bucket"))
+              .transform(repartitionByBucket(_, b))
           } else {
             source.select(
               (col(key) +:
@@ -285,10 +320,10 @@ object MergeApply {
                   col("__s_lsn").as("_lsn"),
                   (col("__s_op") === "D").as("_deleted"),
                   pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket")): _*)
-              // repartition by bucket bounds file count to numBuckets per
-              // batch (without it each task writes every bucket dir:
+              // bucket-aligned repartition bounds file count to numBuckets
+              // per batch (without it each task writes every bucket dir:
               // tasks×buckets small files, which kills subsequent reads)
-              .repartition(col("_bucket"))
+              .transform(repartitionByBucket(_, b))
           }
         // key-sorting delta files clusters each url's row runs for read
         // locality + compression, at the cost of one extra in-memory pass
@@ -381,7 +416,7 @@ object MergeApply {
           .select((outCols :+ col("_action")): _*)
           .drop("_action")
           .observe(obsRows, bucketCountCols(b).head, bucketCountCols(b).tail: _*)
-          .repartition(col("_bucket"))
+          .transform(repartitionByBucket(_, b))
           .sortWithinPartitions(col(key))
           .write.mode("overwrite").option("compression", MergeApply.lakeCodec)
           .partitionBy("_bucket") // clobber crash debris (self-healing)
@@ -446,7 +481,7 @@ object MergeApply {
     val obsRows = Observation(s"compact-$snapId")
     state
       .observe(obsRows, bucketCountCols(b).head, bucketCountCols(b).tail: _*)
-      .repartition(col("_bucket"))
+      .transform(repartitionByBucket(_, b))
       .sortWithinPartitions(col(key))
       .write.mode("overwrite").option("compression", MergeApply.lakeCodec)
           .partitionBy("_bucket") // clobber crash debris (self-healing)

@@ -127,6 +127,14 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
       s"public steps may not depend on private steps: ${bad.mkString(", ")}")
   }
 
+  /** dep → dependents index, built once — graph walks (topoOrder, select)
+    * are O(V+E) against it instead of scanning every step per dequeue /
+    * per closure round (the previous spelling was O(V²·d̄): tens of
+    * millions of Seq.contains calls at the reference's ~2,700-step DAG). */
+  private val dependentsOf: Map[String, Seq[String]] =
+    steps.flatMap(s => s.deps.map(_ -> s.id))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
   /** Kahn topological order; fails on cycles or missing deps. */
   def topoOrder(subset: Set[String] = byId.keySet): Seq[String] = {
     val ids = subset
@@ -140,7 +148,7 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
     while (ready.nonEmpty) {
       val id = ready.dequeue()
       out += id
-      for (s <- ids if byId(s).deps.contains(id)) {
+      for (s <- dependentsOf.getOrElse(id, Nil) if ids.contains(s)) {
         inDeg(s) -= 1
         if (inDeg(s) == 0) ready.enqueue(s)
       }
@@ -151,31 +159,29 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
     out.toSeq
   }
 
-  /** Regex include + downstream closure (filter_to_subgraph analogue). */
+  /** Regex include + downstream closure (filter_to_subgraph analogue).
+    * Worklist BFS over the dep / dependents indexes — O(V+E), not a
+    * grow-until-fixed-point loop re-scanning the selection each round. */
   def select(includeRegex: String, downstream: Boolean = false): Set[String] = {
     val re = includeRegex.r
-    var sel = byId.keySet.filter(id => re.findFirstIn(id).isDefined)
+    val seed = byId.keySet.filter(id => re.findFirstIn(id).isDefined)
+    def closure(start: Set[String], next: String => Seq[String]): Set[String] = {
+      val seen = scala.collection.mutable.Set.empty[String] ++ start
+      val work = scala.collection.mutable.ArrayDeque.empty[String] ++ start
+      while (work.nonEmpty) {
+        val id = work.removeHead()
+        for (n <- next(id) if !seen.contains(n)) { seen += n; work += n }
+      }
+      seen.toSet
+    }
     // upstream closure (dependencies always included, like the reference)
-    var grew = true
-    while (grew) {
-      val next = sel ++ sel.flatMap(byId(_).deps)
-      grew = next.size != sel.size; sel = next
-    }
-    if (downstream) {
-      grew = true
-      while (grew) {
-        val next = sel ++ byId.keySet.filter(id =>
-          byId(id).deps.exists(sel.contains))
-        grew = next.size != sel.size; sel = next
-      }
+    val up = closure(seed, id => byId(id).deps)
+    if (!downstream) up
+    else {
+      val down = closure(up, id => dependentsOf.getOrElse(id, Nil))
       // re-close upstream for newly added downstream steps
-      grew = true
-      while (grew) {
-        val next = sel ++ sel.flatMap(byId(_).deps)
-        grew = next.size != sel.size; sel = next
-      }
+      closure(down, id => byId(id).deps)
     }
-    sel
   }
 
   def tableDir(id: String): String = s"$storeDir/${id.replace('/', '_')}"
@@ -493,9 +499,10 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
     val meta = t.metadata
     val snapId = meta.currentSnapshotId.getOrElse(0L) + 1
     val snapDirRel = s"data/snap-$snapId"
-    df.withColumn("_bucket",
-        pmod(xxhash64(col(meta.bucketColumn)), lit(meta.numBuckets)).cast("int"))
-      .repartition(col("_bucket"))
+    graft.cdc.MergeApply.repartitionByBucket(
+        df.withColumn("_bucket",
+          pmod(xxhash64(col(meta.bucketColumn)), lit(meta.numBuckets)).cast("int")),
+        meta.numBuckets)
       .write.mode("overwrite").option("compression", graft.cdc.MergeApply.lakeCodec)
           .partitionBy("_bucket") // clobber crash debris (self-healing)
       .parquet(t.absolute(snapDirRel))

@@ -43,6 +43,19 @@ object Dedup {
     * maxDf² per shingle, which is what makes this runnable at 10^10 docs.
     * The dropped (ubiquitous) shingles carry no near-dup signal — this is
     * the standard stop-shingle filter. */
+  /** Per-shingle sorted id lists of the df-capped shingle stream, ended
+    * with an explicit re-exchange on shingle. The re-exchange is the
+    * REUSE POINT: both consumers (pair expansion and per-doc counts) hang
+    * identical subtrees below it, so AQE's exchange reuse materializes the
+    * expensive explode→sort→window→collect stage exactly once and the
+    * second consumer reads the shuffled one-row-per-shingle output (≤maxDf
+    * ids each — slim) instead of recomputing the pipeline. */
+  private def cappedIdLists(
+      capped: DataFrame, idCol: String, ids: Column): DataFrame =
+    capped
+      .groupBy(col("shingle")).agg(ids) // reuses the window's partitioning
+      .repartition(col("shingle"))
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -74,8 +87,7 @@ object Dedup {
           .withColumn("__df", count(lit(1)).over(wDf))
           .where(col("__df") <= maxDf)
         val ids = sort_array(collect_list(col(idCol))).as("ids")
-        val pairs = capped
-          .groupBy(col("shingle")).agg(ids) // reuses the window's partitioning
+        val pairs = cappedIdLists(capped, idCol, ids)
           .select(explode(flatten(transform(col("ids"), (b, jdx) =>
             transform(slice(col("ids"), lit(1), jdx),
               a => struct(a.as("i"), b.as("j")))))).as("p"))
@@ -83,13 +95,23 @@ object Dedup {
           .agg(count(lit(1)).as("common"))
       }
     // per-doc shingle counts over the SAME capped universe, so the score
-    // stays a true Jaccard over surviving shingles
+    // stays a true Jaccard over surviving shingles. On the capped path they
+    // are derived from the per-shingle id lists (bounded ≤ maxDf each), NOT
+    // by re-running the shingle+window pipeline: the re-exchange inside
+    // cappedIdLists makes the whole explode→sort→window→collect stage ONE
+    // reused shuffle stage shared with the pairs branch (guide §2.4 — the
+    // previous spelling ran the sort+window three times, once per branch,
+    // because exchange reuse only dedupes below an Exchange boundary).
     val counts =
       if (maxDf <= 0) sh.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
       else {
         val wDf = Window.partitionBy(col("shingle"))
-        sh.withColumn("__df", count(lit(1)).over(wDf))
+        val capped = sh
+          .withColumn("__df", count(lit(1)).over(wDf))
           .where(col("__df") <= maxDf)
+        val ids = sort_array(collect_list(col(idCol))).as("ids")
+        cappedIdLists(capped, idCol, ids)
+          .select(explode(col("ids")).as(idCol))
           .groupBy(col(idCol)).agg(count(lit(1)).as("c"))
       }
     val jac = col("common") / (col("ci") + col("cj") - col("common"))
@@ -160,9 +182,11 @@ object Dedup {
   ): DataFrame = {
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .withColumn("hv", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
+    // branchless ±1: bit∈{0,1} → 2·bit−1 ∈ {−1,1}, exactly the when(){1}
+    // else {-1} spelling but without a predicate per (row × bit) in the
+    // generated aggregate update (bits per-row branches add up at 10^10 docs)
     val bitSums = (0 until bits).map { b =>
-      sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s$b")
+      sum(shiftright(col("hv"), b).bitwiseAND(1) * 2 - 1).as(s"s$b")
     }
     val summed = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until bits).map { b =>
@@ -242,9 +266,10 @@ object Dedup {
         toks.select(col(idCol) +: (0 until chunks).map(c =>
           shiftright(h, c * bitsPer).bitwiseAND(lit(0xFFFFL)).as(s"hv$c")): _*)
       }
+    // branchless ±1 (see simhash above): 64 aggregate updates per token row
+    // run without a conditional each
     val bitSums = for { c <- 0 until chunks; b <- 0 until bitsPer } yield
-      sum(when(shiftright(col(s"hv$c"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s${c}_$b")
+      sum(shiftright(col(s"hv$c"), b).bitwiseAND(1) * 2 - 1).as(s"s${c}_$b")
     val summed = withHv.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
     val sigCols = (0 until chunks).map { c =>
       (0 until bitsPer).map(b =>
@@ -332,7 +357,12 @@ object Dedup {
     * (localCheckpoint stores blocks on executors; losing one fails the
     * job). Default (None) keeps the fast local path for single-JVM runs.
     * Round files accumulate under the dir for the duration of the call —
-    * O(rounds × labels) bytes; the caller owns the dir's lifecycle. */
+    * O(rounds × labels) bytes; the caller owns the dir's lifecycle.
+    *
+    * Small graphs (≤ SPARK_GRAFT_CLUSTER_LOCAL_MAX edges, default 8M) with
+    * integral ids and no reliable-checkpoint contract short-circuit to
+    * union-find in a single executor task — identical labels, one job
+    * instead of rounds × (join+agg+ckpt+count). */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
@@ -343,6 +373,52 @@ object Dedup {
     val edges = ckpt(pairs.select(col("i").as("a"), col("j").as("b"))
       .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
       .distinct())
+
+    // Scale-adaptive small-graph fast path (guide §1.2/§2: fix the
+    // distributed algorithm to the data size, don't run a 32-task
+    // multi-round iteration over a graph that fits one task): when the
+    // materialized edge set is small AND the ids are integral, resolve the
+    // components with union-find inside ONE executor task — a single job
+    // replacing ~4 jobs × rounds of join/agg/checkpoint/count scheduling.
+    // The cutoff (16 B/edge → ≤128 MB in the task) keeps it a bounded
+    // executor-side computation, never a driver collect; larger graphs take
+    // the iterative min-label propagation below, unchanged.
+    val edgeCount = edges.count()
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    val fastPathMax = sys.props.getOrElse("graft.cluster.localMax",
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_LOCAL_MAX", "8000000")).toLong
+    if (edgeCount <= fastPathMax && integralIds && checkpointDir.isEmpty) {
+      import spark.implicits._
+      val longEdges = edges.select(
+        col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+      val labeled = longEdges.coalesce(1).mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          // union by MIN id so every root is its component's minimum
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        parent.keySet().iterator().asScala.map(id => (id, find(id)))
+      }
+      val idType = edges.schema.fields.head.dataType
+      return labeled.toDF("id", "label")
+        .select(col("id").cast(idType), col("label").cast(idType))
+    }
+
     var labels = ckpt(edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")))
     var changed = 1L

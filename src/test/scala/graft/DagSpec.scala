@@ -409,4 +409,27 @@ class DagSpec extends SparkSpec {
     assert(meta.exists(!_.isPublic))
     assert(dag.tableMeta(spark, "pub").forall(_.isPublic))
   }
+
+  test("graph walks stay fast on a 10k-step chain+fan DAG (indexed, O(V+E))") {
+    // a deep chain with a wide fan at the end — the shape that makes the
+    // naive per-dequeue full scan quadratic. Loose wall bound: the indexed
+    // walks finish in well under a second; the old O(V^2) spelling took
+    // tens of seconds here.
+    val chain = (0 until 5000).map { i =>
+      Step(f"chain/$i%05d", if (i == 0) Nil else Seq(f"chain/${i - 1}%05d"),
+        "v1", (s, _) => { import s.implicits._; Seq(1).toDF("x") })
+    }
+    val fan = (0 until 5000).map { i =>
+      Step(f"fan/$i%05d", Seq("chain/04999"),
+        "v1", (s, _) => { import s.implicits._; Seq(1).toDF("x") })
+    }
+    val dag = new StepDag(chain ++ fan, tmpDir("dag-big"))
+    val t0 = System.nanoTime()
+    val order = dag.topoOrder()
+    val sel = dag.select("chain/00000", downstream = true)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(order.size == 10000 && order.take(2) == Seq("chain/00000", "chain/00001"))
+    assert(sel.size == 10000) // full downstream closure from the chain root
+    assert(sec < 5.0, f"graph walks took $sec%.2f s — index regression?")
+  }
 }

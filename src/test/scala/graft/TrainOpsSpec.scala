@@ -417,4 +417,41 @@ class TrainOpsSpec extends SparkSpec {
       .select("b").as[Long].collect()
     assert(wideBytes.max <= 500L + 500L + 11L, s"skewed: ${wideBytes.max}")
   }
+
+  test("dupClusters: union-find fast path and iterative path agree") {
+    // the same random graphs through BOTH code paths: the single-task
+    // union-find fast path (default for small graphs) and the iterative
+    // min-label propagation (forced via the sys.prop cutoff = 0)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val pairsSeq = Seq.fill(60) {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      val fast = Dedup.dupClusters(pairsSeq.toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      System.setProperty("graft.cluster.localMax", "0")
+      try {
+        val iterative = Dedup.dupClusters(pairsSeq.toDF("i", "j"))
+          .as[(Long, Long)].collect().toMap
+        assert(fast == iterative)
+      } finally System.clearProperty("graft.cluster.localMax")
+    }
+  }
+
+  test("bucket-aligned repartition: bucket k lands in shuffle partition k") {
+    import org.apache.spark.sql.functions._
+    val b = 32
+    val df = spark.range(0, 5000)
+      .select(concat(lit("u"), $"id").as("url"))
+      .withColumn("_bucket", pmod(xxhash64($"url"), lit(b)).cast("int"))
+    val placed = graft.cdc.MergeApply.repartitionByBucket(df, b)
+      .select($"_bucket", spark_partition_id().as("pid"))
+      .distinct().as[(Int, Int)].collect()
+    assert(placed.nonEmpty && placed.forall { case (bkt, pid) => bkt == pid })
+    // and the preimage table really is a bijection for assorted bucket counts
+    for (bb <- Seq(1, 4, 8, 32, 64, 100))
+      assert(graft.cdc.MergeApply.bucketPreimages(bb).distinct.length == bb)
+  }
 }
