@@ -280,12 +280,16 @@ object MergeApply {
         //    ~10× (8 B/key vs the full url string) — the broadcast build is
         //    the measured Amdahl fraction of the compute path at 32 cores
         //    (ScaleDecomp: probe scales 0.935, broadcast-dedup 0.445). A
-        //    hash collision admits a lower-LSN EXTRA row into the delta,
-        //    which is harmless HERE (and only here): every MOR delta read,
-        //    change feed, and compaction reconciles by max-LSN per key, so
-        //    the collided row always loses downstream. The CoW path writes
-        //    base files that are read UNRECONCILED — it must keep the exact
-        //    (key, lsn) join and never use this.
+        //    hash collision (p ≈ keys·rows/2^64 per batch) admits a
+        //    lower-LSN EXTRA row into the delta. MOR table READS and
+        //    compaction reconcile by max-LSN per key, so the collided row
+        //    always loses there; `changesBetween` does NOT reconcile — it
+        //    emits raw delta rows, so a feed consumer can see a key twice
+        //    within one commit's slice at that probability (the documented
+        //    probabilistic feed contract — see LakeTable.changesBetween;
+        //    LWW consumers à la MergeApply converge regardless). The CoW
+        //    path writes base files that are read UNRECONCILED — it must
+        //    keep the exact (key, lsn) join and never use this.
         // default hashed (round-5): alternated engine A/B at 2M/local[32]
         // gave hashed 279.1k/287.0k vs broadcast 275.0k/258.5k ev/s, and
         // ScaleDecomp shows the gain concentrates exactly where the north
@@ -378,7 +382,18 @@ object MergeApply {
         dbg(s"touched ${touched.size} buckets")
 
         val target = table.read(spark, Some(touched), includeTombstones = true)
-        val joined = target.join(source, Seq(key), "full_outer")
+        // full-outer by key: prefer SHUFFLED HASH over sort-merge (guide
+        // §3.1) — sort-merge sorts FULL PAYLOAD rows on both sides before
+        // merging, two payload sorts the hash join skips entirely. The
+        // build side is the deduped batch (bounded: ≤ batch keys), so the
+        // per-partition hash table stays small at any table size; the
+        // output is re-sorted by key only at the bucket write below.
+        // "auto"/"merge" fall back via SPARK_GRAFT_COW_JOIN.
+        val cowJoin = sys.props.getOrElse("graft.cow.join",
+          sys.env.getOrElse("SPARK_GRAFT_COW_JOIN", "shuffle_hash"))
+        val joined =
+          if (cowJoin == "auto") target.join(source, Seq(key), "full_outer")
+          else target.join(source.hint(cowJoin), Seq(key), "full_outer")
 
         val targetLive = col("_lsn").isNotNull && !coalesce(col("_deleted"), lit(false))
         val srcWins = col("__s_lsn").isNotNull &&

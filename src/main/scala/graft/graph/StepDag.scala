@@ -116,15 +116,20 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
     subset: Option[String] = None) {
   private val byId = steps.map(s => s.id -> s).toMap
   require(byId.size == steps.size, "duplicate step ids")
-  // public/private exclusivity (command.py:1044-1060): a public step
-  // depending on a private one would leak private data into a public output
-  locally {
+  /** Public/private exclusivity (command.py:997-1002 `_validate_private_steps`):
+    * a public step depending on a private one would leak private data into a
+    * public output. Like the reference, this is enforced per RUN and only
+    * when private steps are NOT requested — `includePrivate` unlocks such a
+    * DAG ("Use --private flag"), so a reference-valid private pipeline stays
+    * constructible. */
+  private def validatePrivateDeps(): Unit = {
     val bad = for {
       s <- steps if !s.isPrivate
       d <- s.deps if byId.get(d).exists(_.isPrivate)
     } yield s"${s.id} -> $d"
     require(bad.isEmpty,
-      s"public steps may not depend on private steps: ${bad.mkString(", ")}")
+      s"public steps may not depend on private steps (run with includePrivate " +
+        s"to allow): ${bad.mkString(", ")}")
   }
 
   /** dep → dependents index, built once — graph walks (topoOrder, select)
@@ -247,6 +252,7 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
       // private steps excluded unless requested (the reference's --private)
       includePrivate: Boolean = false
   ): RunReport = {
+    if (!includePrivate) validatePrivateDeps()
     val selected = select(includeRegex, downstream)
       .filter(id => includePrivate || !byId(id).isPrivate)
     val order = topoOrder(selected)
@@ -346,6 +352,7 @@ class StepDag(steps: Seq[Step], storeDir: String, numBuckets: Int = 8,
   def eta(includeRegex: String = ".*", force: Boolean = false,
       downstream: Boolean = false, includePrivate: Boolean = false
   ): (Double, Int) = {
+    if (!includePrivate) validatePrivateDeps()
     val pending = topoOrder(select(includeRegex, downstream)
         .filter(id => includePrivate || !byId(id).isPrivate))
       .filter(id => byId(id).run != null && (force || isDirty(id)))

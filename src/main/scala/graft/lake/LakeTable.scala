@@ -366,6 +366,18 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
     * key changed in k commits of the window appears k times, LSN-ordered
     * within each commit's slice.
     *
+    * PROBABILISTIC FEED CONTRACT under the default hashed MOR dedup
+    * (MergeApply `SPARK_GRAFT_MOR_DEDUP=hashed`): the writer dedups each
+    * batch through a semi join on xxhash64(key, lsn), so an in-batch hash
+    * collision (p ≈ keys·rows / 2^64 per batch) can land one EXTRA
+    * lower-LSN row for a key inside a single commit's slice. The feed
+    * emits raw delta rows and does not reconcile them — consumers that
+    * reduce per key by max LSN (the documented events → MergeApply LWW
+    * shape) converge identically; a consumer doing plain arithmetic
+    * aggregation over the feed would double-count at that probability.
+    * Run the writer with `SPARK_GRAFT_MOR_DEDUP=broadcast` for a table
+    * whose feed consumers need the strict exactly-k-times contract.
+    *
     * Cost is O(changes): only each commit's ADDED delta files are read —
     * never the base table. Compaction snapshots (batchId < 0) rewrite
     * physically but change nothing logically and are skipped; copy-on-write

@@ -384,11 +384,16 @@ object Grapher {
           !fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/variable=$name")))
         None
       else {
-        val in = fs.open(p)
-        try {
-          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-          Some((node.get("data").asText(), node.get("meta").asText()))
-        } finally in.close()
+        // a truncated/corrupt checksum file (crash mid-create — fs.create
+        // is not atomic) must read as "no previous checksum" and force that
+        // variable's rewrite, not crash the whole publish
+        scala.util.Try {
+          val in = fs.open(p)
+          try {
+            val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+            (node.get("data").asText(), node.get("meta").asText())
+          } finally in.close()
+        }.toOption.filter(t => t._1 != null && t._2 != null)
       }
     }
     // the data gate and the metadata gate are independent, like the

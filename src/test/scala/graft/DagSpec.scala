@@ -385,14 +385,20 @@ class DagSpec extends SparkSpec {
   test("private steps: validation, exclusion by default, non-public sidecar") {
     // tests/test_steps.py:240-245 + command.py:1044-1060
     val store = tmpDir("dag-priv")
-    // a PUBLIC step depending on a PRIVATE one is rejected at construction
-    intercept[IllegalArgumentException] {
-      new StepDag(Seq(
-        Step("secret", Nil, "v1", (s, _) => {
-          import s.implicits._; Seq(1).toDF("v")
-        }, isPrivate = true),
-        Step("open", Seq("secret"), "v1", (_, in) => in("secret"))), store)
-    }
+    // a PUBLIC step depending on a PRIVATE one is rejected at run time when
+    // private steps are NOT requested (command.py:997-1002: 'Use --private
+    // flag'), and unlocked by includePrivate — the reference-valid private
+    // pipeline stays constructible
+    val mixed = new StepDag(Seq(
+      Step("secret", Nil, "v1", (s, _) => {
+        import s.implicits._; Seq(1).toDF("v")
+      }, isPrivate = true),
+      Step("open", Seq("secret"), "v1", (_, in) => in("secret"))),
+      tmpDir("dag-priv-mixed"))
+    intercept[IllegalArgumentException] { mixed.run(spark) }
+    intercept[IllegalArgumentException] { mixed.eta() }
+    val rMixed = mixed.run(spark, includePrivate = true)
+    assert(rMixed.executed == Seq("secret", "open"))
     // private may depend on public; runs only with includePrivate
     val dag = new StepDag(Seq(
       Step("pub", Nil, "v1", (s, _) => {

@@ -102,6 +102,12 @@ class JinjaSpec extends AnyFunSuite {
 
   test("comments are dropped; filters lower/upper/title/trim") {
     assert(Jinja.render("a<# ignore me #>b", Map.empty) == "ab")
+    // legacy jinja2 comment delimiters are dropped too (a legacy-delimiter
+    // template's comments must not leak into rendered metadata), including
+    // in a template with no other tags (the render fast path)
+    assert(Jinja.render("a{# ignore me #}b", Map.empty) == "ab")
+    assert(Jinja.render("x{# only a comment #}", Map.empty) == "x")
+    assert(Jinja.render("{{ s }}{# c #}", Map("s" -> "v")) == "v")
     assert(Jinja.render("<< s | upper >>", Map("s" -> "abc")) == "ABC")
     assert(Jinja.render("<< s | title >>", Map("s" -> "big bang")) == "Big Bang")
     assert(Jinja.render("<< s | trim >>", Map("s" -> "  x ")) == "x")
