@@ -340,14 +340,27 @@ class LakeTable(val dir: String, hadoopConf: Configuration = new Configuration()
         val hintName = sys.env.getOrElse("SPARK_GRAFT_DEDUP_JOIN", "auto")
         def hinted(df: DataFrame): DataFrame =
           if (hintName == "auto") df else df.hint(hintName)
-        val deltaKeys = hinted(delta.select(col(key)).distinct())
-        val affected = base.join(deltaKeys, Seq(key), "left_semi")
-          .unionByName(delta)
-        val untouchedBase = base.join(deltaKeys, Seq(key), "left_anti")
-        val maxL = hinted(affected.groupBy(col(key)).agg(max(col(lww)).as(lww)))
-        readRaw(spark, m, cleanFiles)
-          .unionByName(untouchedBase)
-          .unionByName(affected.join(maxL, Seq(key, lww), "left_semi"))
+        if (baseFiles.isEmpty) {
+          // delta-only fast path (fresh table / first compaction / pure
+          // delta buckets): with no base rows, "base rows of delta keys"
+          // is empty by construction, so the delta-key distinct and the
+          // semi/anti joins against the (empty) base scan are dead plan
+          // weight — reconcile the deltas directly by max-LSN per key.
+          // Halves the plan of a fresh-table read (the q_cdc_merge /
+          // q_change_feed shape) and trims first compactions.
+          val maxL = hinted(delta.groupBy(col(key)).agg(max(col(lww)).as(lww)))
+          readRaw(spark, m, cleanFiles)
+            .unionByName(delta.join(maxL, Seq(key, lww), "left_semi"))
+        } else {
+          val deltaKeys = hinted(delta.select(col(key)).distinct())
+          val affected = base.join(deltaKeys, Seq(key), "left_semi")
+            .unionByName(delta)
+          val untouchedBase = base.join(deltaKeys, Seq(key), "left_anti")
+          val maxL = hinted(affected.groupBy(col(key)).agg(max(col(lww)).as(lww)))
+          readRaw(spark, m, cleanFiles)
+            .unionByName(untouchedBase)
+            .unionByName(affected.join(maxL, Seq(key, lww), "left_semi"))
+        }
       case _ => readRaw(spark, m, files)
     }
     m.tombstoneColumn match {

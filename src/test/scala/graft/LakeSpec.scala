@@ -245,6 +245,28 @@ class LakeSpec extends SparkSpec {
     assert(got.filter($"url" === "u17").count() == 1)
   }
 
+  test("MOR delta-only fast path: no base files → direct max-LSN reconcile") {
+    // a fresh table with ONLY delta commits (the q_cdc_merge shape) takes
+    // the short plan — no delta-key distinct, no joins against empty base —
+    // and must still LWW-reconcile across commits and filter tombstones
+    val dir = tmpDir("lake-mor-deltaonly") + "/pages"
+    val table = cdc.Engine.createPagesTable(dir, 4)
+    def evd(lsn: Long, op: String, url: String) = graft.model.ChangeEvent(
+      lsn, op, url, new java.sql.Timestamp(0), Array.emptyByteArray, s"t$lsn", "en")
+    cdc.MergeApply(spark, table,
+      Seq(evd(1, "U", "a"), evd(2, "U", "b"), evd(3, "U", "a")).toDS.toDF,
+      0L, stepId = "cdc_ingest")
+    cdc.MergeApply(spark, table,
+      Seq(evd(10, "U", "a"), evd(11, "D", "b"), evd(12, "U", "c")).toDS.toDF,
+      1L, stepId = "cdc_ingest")
+    val got = table.read(spark).select("url", "text", "_lsn")
+      .as[(String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", "t10", 10L), ("c", "t12", 12L))) // b tombstoned
+    // the plan really is the short one: no anti join (untouchedBase branch)
+    val plan = table.read(spark).queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"), "delta-only read still plans the base anti join")
+  }
+
   test("changesBetween: O(changes) incremental feed; replay reduces to table state") {
     import org.apache.spark.sql.functions.{max_by, struct}
     val dir = tmpDir("lake-changes") + "/pages"
