@@ -135,13 +135,42 @@ object Dedup {
       md5Based: Boolean = false
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
-    val sigs = (0 until numHashes).map { k =>
-      val h: Column =
-        if (md5Based) min(md5(concat(col("shingle"), lit(s"#$k"))))
-        else min(xxhash64(col("shingle"), lit(k)))
-      h.as(s"h$k")
+    if (md5Based) {
+      // min over an md5 HEX STRING plans a SortAggregate (string agg buffers
+      // are not mutable in UnsafeRow), sorting the whole exploded shingle
+      // stream by doc on both the partial and final sides. Instead decompose
+      // each digest into two sign-flipped longs — signed lexicographic
+      // (hi, lo) order == unsigned 128-bit order == hex-string order — take
+      // the min with the fixed-width MinLongPair aggregate (HashAggregate,
+      // map-side partial agg, zero sorts), and re-hex after the aggregate.
+      // Bit-identical output (oracle hash-gated). The decomposition is ONE
+      // custom expression per hash (md5_pair128: one digest straight to two
+      // longs), pre-projected BELOW the aggregate so the aggregate's update
+      // expressions read bound struct fields — aggregate inputs are
+      // evaluated inline per update, so an expression child would be
+      // re-digested once per referencing field.
+      val signBit = lit(Long.MinValue)
+      val projected = sh.select(
+        col(idCol) +: (0 until numHashes).map { k =>
+          graft.functions.Md5Pair128
+            .md5_pair128(col("shingle"), lit(s"#$k")).as(s"p$k")
+        }: _*)
+      val aggs = (0 until numHashes).map { k =>
+        graft.functions.MinPairExpression
+          .min_long_pair(col(s"p$k")("a"), col(s"p$k")("b")).as(s"m$k")
+      }
+      def hex16(c: Column): Column = lpad(lower(hex(c)), 16, "0")
+      val sigCols = (0 until numHashes).map { k =>
+        concat(hex16(col(s"m$k")("a").bitwiseXOR(signBit)),
+               hex16(col(s"m$k")("b").bitwiseXOR(signBit))).as(s"h$k")
+      }
+      projected.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+        .select(col(idCol) +: sigCols: _*)
+    } else {
+      val sigs = (0 until numHashes)
+        .map(k => min(xxhash64(col("shingle"), lit(k))).as(s"h$k"))
+      sh.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
     }
-    sh.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
   }
 
   /** LSH banding: group the signature into `bands` bands of `rowsPerBand`
@@ -155,18 +184,28 @@ object Dedup {
       bands: Int
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // band key = the band's signature components THEMSELVES, not
+    // md5(concat_ws) of them: component-tuple equality is exactly the
+    // digest-key equality the md5 spelling approximated (fixed-width
+    // components — no separator aliasing; md5 only added a digest per band
+    // per doc and a ~2^-64 false-pair risk). Same candidate pairs, one
+    // md5 + concat + string-casts per (doc × band) removed from the scan.
     val bandCols = (0 until bands).map { bIdx =>
-      val parts = (0 until rowsPerBand)
-        .map(r => col(s"h${bIdx * rowsPerBand + r}").cast("string"))
-      struct(lit(bIdx).as("band"),
-        md5(concat_ws("|", parts: _*)).as("bk"))
+      val parts = (0 until rowsPerBand).map { r =>
+        col(s"h${bIdx * rowsPerBand + r}").as(s"bk$r")
+      }
+      struct(lit(bIdx).as("band") +: parts: _*)
     }
+    val bkCols = (0 until rowsPerBand).map(r => s"bk$r")
     val banded = signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("b"))
-      .select(col(idCol), col("b.band").as("band"), col("b.bk").as("bk"))
-    val l = banded.select(col(idCol).as("i"), col("band"), col("bk"))
-    val r = banded.select(col(idCol).as("j"), col("band"), col("bk"))
-    l.join(r, Seq("band", "bk")).where(col("i") < col("j"))
+      .select(col(idCol) +: col("b.band").as("band") +:
+        bkCols.map(c => col(s"b.$c").as(c)): _*)
+    val l = banded.select(col(idCol).as("i") +: col("band") +:
+      bkCols.map(col): _*)
+    val r = banded.select(col(idCol).as("j") +: col("band") +:
+      bkCols.map(col): _*)
+    l.join(r, "band" +: bkCols).where(col("i") < col("j"))
       .select("i", "j").distinct()
   }
 
@@ -180,8 +219,14 @@ object Dedup {
       textCol: String,
       bits: Int = 16
   ): DataFrame = {
+    // basis = first 4 md5 hex chars = top 16 bits of the digest: one
+    // md5_pair128 digest → shift, instead of hex-encode + substring + conv
+    // string-parse per token (same value bit-for-bit, oracle hash-gated)
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("hv", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long"))
+      .select(col(idCol),
+        graft.functions.Md5Pair128.md5_pair128(col("tok"), lit(""))("a")
+          .bitwiseXOR(lit(Long.MinValue)).as("h64"))
+      .select(col(idCol), shiftrightunsigned(col("h64"), 48).as("hv"))
     // branchless ±1: bit∈{0,1} → 2·bit−1 ∈ {−1,1}, exactly the when(){1}
     // else {-1} spelling but without a predicate per (row × bit) in the
     // generated aggregate update (bits per-row branches add up at 10^10 docs)
@@ -258,9 +303,18 @@ object Dedup {
     val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
     val withHv =
       if (md5Based) {
-        val m = md5(col("tok"))
-        toks.select(col(idCol) +: (0 until chunks).map(c =>
-          conv(substring(m, c * 4 + 1, 4), 16, 10).cast("long").as(s"hv$c")): _*)
+        // chunk c = hex chars [4c+1, 4c+4] = digest bytes [2c, 2c+1] = bits
+        // [63−16c .. 48−16c] of the digest's high half: ONE md5_pair128
+        // digest + shifts, instead of hex-encode + 4×(substring + conv
+        // string-parse) per token. Projected in its own select so the
+        // 4 chunk columns read the bound h64, not 4 re-digests
+        // (CollapseProject keeps a non-cheap alias referenced >1× put).
+        toks.select(col(idCol),
+            graft.functions.Md5Pair128.md5_pair128(col("tok"), lit(""))("a")
+              .bitwiseXOR(lit(Long.MinValue)).as("h64"))
+          .select(col(idCol) +: (0 until chunks).map(c =>
+            shiftrightunsigned(col("h64"), 48 - 16 * c)
+              .bitwiseAND(lit(0xFFFFL)).as(s"hv$c")): _*)
       } else {
         val h = xxhash64(col("tok"))
         toks.select(col(idCol) +: (0 until chunks).map(c =>

@@ -23,9 +23,13 @@ object Sampling {
       seed: Int = 42
   ): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction: $fraction")
-    val h = conv(substring(
-      md5(concat(col(idCol).cast("string"), lit(s"#$seed"))), 1, 8), 16, 10)
-      .cast("long")
+    // first 8 md5 hex chars = top 32 bits of the digest: one md5_pair128
+    // digest + shift instead of hex-encode + substring + conv string-parse
+    // per row — same selected rows bit-for-bit (oracle hash-gated)
+    val h = shiftrightunsigned(
+      graft.functions.Md5Pair128
+        .md5_pair128(col(idCol).cast("string"), lit(s"#$seed"))("a")
+        .bitwiseXOR(lit(Long.MinValue)), 32)
     df.where(h < math.round(fraction * 4294967296.0))
   }
 }

@@ -47,6 +47,32 @@ class TrainOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet.contains((1L, 4L)))
   }
 
+  test("md5 minhash: MinLongPair signatures == min(md5 string), via HashAggregate") {
+    // randomized corpus (fixed seed): many docs, shared + unique shingles
+    val rnd = new scala.util.Random(42)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val corpus = (1L to 60L).map { id =>
+      (id, Seq.fill(12 + rnd.nextInt(20))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val fast = Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 3,
+      md5Based = true)
+    // reference: the straightforward min-over-hex-string aggregation
+    val sh = Dedup.shingles(corpus, "doc_id", "text", 3)
+    val refSigs = (0 until 8)
+      .map(k => min(md5(concat(col("shingle"), lit(s"#$k")))).as(s"h$k"))
+    val ref = sh.groupBy(col("doc_id")).agg(refSigs.head, refSigs.tail: _*)
+    assert(fast.orderBy("doc_id").collect().toSeq ==
+      ref.orderBy("doc_id").collect().toSeq)
+    // the point of the decomposition: fixed-width buffer -> HashAggregate,
+    // and the string-buffer SortAggregate fallback is gone
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
   test("simhash: identical texts equal, near-dups close in hamming") {
     val sh = Dedup.simhash(docs, "doc_id", "text", 16)
       .as[(Long, Long)].collect().toMap
