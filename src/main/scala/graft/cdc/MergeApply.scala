@@ -305,10 +305,21 @@ object MergeApply {
                 pmod(xxhash64(col(key)), lit(b)).cast("int").as("_bucket")): _*)
             lwwReduceByKey(projected, key, b)
           } else if (strategy == "hashed") {
+            // test seam: graft.mor.dedup.hashbits < 64 narrows the winner
+            // hash so specs can force real collisions and prove the
+            // documented contract (reads/compaction reconcile; LWW feed
+            // consumers converge). Unset → plain xxhash64, the production
+            // path, byte-identical to before the seam existed.
+            def wh: Column = {
+              val h = xxhash64(col(key), col("lsn"))
+              sys.props.get("graft.mor.dedup.hashbits")
+                .map(b => pmod(h, lit(1L << b.toInt)))
+                .getOrElse(h)
+            }
             val maxH = maxLsnOf(observedBatch, key, effectiveSalt)
-              .select(xxhash64(col(key), col("lsn")).as("__wh"))
+              .select(wh.as("__wh"))
             observedBatch
-              .withColumn("__wh", xxhash64(col(key), col("lsn")))
+              .withColumn("__wh", wh)
               .join(broadcast(maxH), Seq("__wh"), "left_semi")
               .select(
                 (col(key) +: valueCols.map(col)) ++ Seq(

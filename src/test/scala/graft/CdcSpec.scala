@@ -169,6 +169,45 @@ class CdcSpec extends SparkSpec {
     } finally System.clearProperty("graft.mor.dedup")
   }
 
+  test("MOR hashed dedup under FORCED __wh collisions: reads, compaction and feed consumers converge") {
+    // narrow the winner hash to 3 bits (8 values for 400 urls × 3 segments):
+    // nearly every row's hash collides with a winner, so the semi join
+    // admits many lower-LSN extra rows into the deltas — the documented
+    // probabilistic contract at its worst. Reads and compaction must still
+    // reconcile to the golden state, and a LWW feed consumer (the
+    // documented shape) must converge; only exactly-k-times feed
+    // multiplicity is (documentedly) forfeit.
+    val cfg = EventGen.Config(nEvents = 6000, nUrls = 400, seed = 79,
+      deleteRatio = 0.1, parallelism = 4)
+    val walDir = tmpDir("wal-hashcol")
+    val segs = EventGen.writeWalSegments(spark, cfg, walDir, 3)
+    val events = spark.read.schema(Engine.eventSchema).parquet(walDir + "/*")
+    val want = checksum(Engine.goldenFinalState(events))
+    System.setProperty("graft.mor.dedup", "hashed")
+    System.setProperty("graft.mor.dedup.hashbits", "3")
+    try {
+      val t = Engine.createPagesTable(tmpDir("lake-hashcol") + "/pages", 4)
+      Engine.replaySegments(spark, segs, t, mode = MergeApply.MergeOnRead)
+      assert(checksum(t.read(spark)) == want) // read-side max-LSN reconcile
+      // feed → LWW consumer convergence (collisions make the feed emit a
+      // key more than once within one commit's slice; LWW absorbs it)
+      import org.apache.spark.sql.functions.{col, max_by, struct}
+      val feed = t.changesBetween(spark, 0L,
+        t.metadata.currentSnapshotId.get)
+      val reduced = feed.groupBy("url")
+        .agg(max_by(struct(col("_op"), col("text"), col("_lsn")), col("_lsn")).as("w"))
+        .filter(col("w._op") =!= "D")
+        .select(col("url"), col("w.text").as("text"))
+      val state = t.read(spark).select("url", "text")
+      assert(reduced.except(state).isEmpty && state.except(reduced).isEmpty)
+      MergeApply.compact(spark, t)
+      assert(checksum(t.read(spark)) == want) // compaction reconcile
+    } finally {
+      System.clearProperty("graft.mor.dedup")
+      System.clearProperty("graft.mor.dedup.hashbits")
+    }
+  }
+
   test("property: any batch split of the same log converges to the golden state") {
     val rnd = new scala.util.Random(97)
     val n = 600

@@ -62,4 +62,36 @@ class ExprSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString
       .linesIterator.exists(l => l.contains("*(") && l.contains("dot_product")))
   }
+
+  test("word_ngrams byte-slicing ≡ split/StringBuilder reference, codegen'd") {
+    import graft.functions.WordNgrams
+    import org.apache.spark.unsafe.types.UTF8String
+    // reference = the previous implementation's exact spelling
+    def reference(text: String, n: Int): Seq[String] = {
+      val toks = text.split(" ", -1)
+      val m = toks.length - n + 1
+      if (m <= 0) return Seq.empty
+      val seen = new java.util.LinkedHashSet[String]()
+      (0 until m).foreach(i => seen.add(toks.slice(i, i + n).mkString(" ")))
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq
+    }
+    val cases = Seq(
+      "the quick brown fox", "a b c", "a b", "", " ", "  ", "a  b c",
+      " leading", "trailing ", "  double  spaces  everywhere  ",
+      "über straße größe naïve café", "日本語 の テスト 文字列 です",
+      "x", "repeat repeat repeat repeat repeat")
+    for (n <- Seq(1, 2, 3, 5); text <- cases) {
+      val got = WordNgrams.compute(UTF8String.fromString(text), n)
+        .array.toSeq.map(_.toString)
+      assert(got == reference(text, n), s"n=$n text='$text'")
+    }
+    // whole-stage codegen carries the expression (was CodegenFallback, which
+    // forces per-row InternalRow materialization in the Generate stage)
+    val df = cases.toDF("text").repartition(2)
+      .select(graft.functions.NgramExpression.word_ngrams($"text", 3).as("g"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString
+      .linesIterator.exists(l => l.contains("*(") && l.contains("word_ngrams")))
+  }
 }
