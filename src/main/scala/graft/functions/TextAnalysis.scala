@@ -19,9 +19,13 @@ object TextAnalysis {
 
   private def toks(text: Column): Column = split(text, " ")
 
-  /** Count of tokens from a marker set. */
+  /** Count of tokens from a marker set. The obvious
+    * `size(filter(split(...), isin))` is a higher-order function —
+    * CodegenFallback with an interpreted per-element predicate over a
+    * materialized token array; `token_set_count` is one codegen'd byte
+    * pass (see TokenSetCountExpr), value-identical. */
   def markerCount(text: Column, words: Seq[String]): Column =
-    size(filter(toks(text), t => t.isin(words.map(lit(_)): _*)))
+    TokenSetCount.token_set_count(text, words)
 
   /** Predicted language via explicit comparison chain (deterministic ties:
     * en > es > de). */

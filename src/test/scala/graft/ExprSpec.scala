@@ -63,6 +63,34 @@ class ExprSpec extends SparkSpec {
       .linesIterator.exists(l => l.contains("*(") && l.contains("dot_product")))
   }
 
+  test("token_set_count ≡ size(filter(split, isin)) HOF, codegen'd") {
+    import graft.functions.TextAnalysis
+    val cases = Seq(
+      "the quick the fox of and the", "el la de y y", "", " ", "  the  ",
+      "nothe the thex", "und der die das", "the", "a a a a", "x y z",
+      "über the straße of", "the  a") // double spaces → empty tokens kept
+    val df = cases.toDF("text").repartition(2)
+    for ((_, words) <- TextAnalysis.markers) {
+      val both = df.select(
+        TextAnalysis.markerCount($"text", words).as("fast"),
+        size(filter(split($"text", " "),
+          t => t.isin(words.map(lit(_)): _*))).as("ref"))
+      assert(both.filter($"fast" =!= $"ref").count() == 0, s"words=$words")
+    }
+    // null in → null out, matching the HOF form under default size(null)
+    val n = df.limit(1).select(
+      TextAnalysis.markerCount(lit(null).cast("string"),
+        TextAnalysis.markers.head._2).as("c"))
+      .as[Option[Int]].collect().head
+    assert(n.isEmpty)
+    // stays inside whole-stage codegen (the ArrayFilter HOF stripped it)
+    val q = df.select(TextAnalysis.markerCount($"text",
+      TextAnalysis.markers.head._2))
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString
+      .linesIterator.exists(l => l.contains("*(") && l.contains("token_set_count")))
+  }
+
   test("word_ngrams byte-slicing ≡ split/StringBuilder reference, codegen'd") {
     import graft.functions.WordNgrams
     import org.apache.spark.unsafe.types.UTF8String
