@@ -77,21 +77,21 @@ object Dedup {
         // capped: ONE shuffle on shingle. The df filter is a count-window
         // over the shingle partition (spills for pathological hot shingles —
         // no unbounded aggregation buffer), then the surviving ≤maxDf ids
-        // per shingle pair up IN-PARTITION via a sorted collect_list + a
-        // pair-expansion lambda (fan-out ≤ maxDf²/2 per shingle, bounded by
-        // construction). No self-join, and the (interpreted, expensive)
-        // shingle stage is evaluated once on this path instead of being
-        // recomputed under both join sides.
+        // per shingle pair up IN-PARTITION via a sorted collect_list + the
+        // sorted_pairs generator (fan-out ≤ maxDf²/2 per shingle, bounded
+        // by construction; one pass, no intermediate pair arrays — the
+        // nested-transform HOF spelling it replaces materialized k slices
+        // + k inner arrays + one flattened array per shingle, interpreted).
+        // No self-join, and the shingle stage is evaluated once on this
+        // path instead of being recomputed under both join sides.
         val wDf = Window.partitionBy(col("shingle"))
         val capped = sh
           .withColumn("__df", count(lit(1)).over(wDf))
           .where(col("__df") <= maxDf)
         val ids = sort_array(collect_list(col(idCol))).as("ids")
         val pairs = cappedIdLists(capped, idCol, ids)
-          .select(explode(flatten(transform(col("ids"), (b, jdx) =>
-            transform(slice(col("ids"), lit(1), jdx),
-              a => struct(a.as("i"), b.as("j")))))).as("p"))
-        pairs.groupBy(col("p.i").as("i"), col("p.j").as("j"))
+          .select(graft.functions.SortedPairs.sorted_pairs(col("ids")))
+        pairs.groupBy(col("i"), col("j"))
           .agg(count(lit(1)).as("common"))
       }
     // per-doc shingle counts over the SAME capped universe, so the score

@@ -91,6 +91,24 @@ class ExprSpec extends SparkSpec {
       .linesIterator.exists(l => l.contains("*(") && l.contains("token_set_count")))
   }
 
+  test("sorted_pairs generator ≡ nested-transform pair expansion") {
+    import graft.functions.SortedPairs
+    val rnd = new scala.util.Random(11)
+    val arrays = Seq(Seq.empty[Long], Seq(7L), Seq(1L, 2L), Seq(3L, 1L, 2L)) ++
+      Seq.fill(5)(Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(100).toLong).toSeq)
+    val df = arrays.toDF("ids").repartition(2)
+    val fast = df.select(SortedPairs.sorted_pairs($"ids"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    // reference = the previous HOF spelling
+    val ref = df.select(explode(flatten(transform($"ids", (b, jdx) =>
+        transform(slice($"ids", lit(1), jdx),
+          a => struct(a.as("i"), b.as("j")))))).as("p"))
+      .select($"p.i", $"p.j")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(fast == ref)
+    assert(fast.size == arrays.map(a => a.size * (a.size - 1) / 2).sum)
+  }
+
   test("word_ngrams byte-slicing ≡ split/StringBuilder reference, codegen'd") {
     import graft.functions.WordNgrams
     import org.apache.spark.unsafe.types.UTF8String
