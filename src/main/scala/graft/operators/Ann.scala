@@ -60,8 +60,17 @@ object Ann {
 
   /** Sign-bit LSH bucket id from `planes` fixed hyperplanes. Hyperplane
     * p's component j is a deterministic pseudo-random ±1 derived from
-    * xxhash64(j, p) — reproducible everywhere, no stored model. */
-  def lshBucket(vec: Column, dim: Int, planes: Int): Column = {
+    * xxhash64(j, p) — reproducible everywhere, no stored model. Computed by
+    * the native LshBucketExpr (sign table precomputed once at plan time,
+    * all planes fused into one vector pass) — the HOF spelling it replaces
+    * re-evaluated the constant xxhash64(j, p) per element × plane × ROW
+    * interpreted (see LshBucketExpression; equivalence test in ExprSpec). */
+  def lshBucket(vec: Column, dim: Int, planes: Int): Column =
+    graft.functions.LshBucketOps.lsh_bucket(vec, dim, planes)
+
+  /** The declarative HOF spelling — kept as the reference implementation
+    * the native expression is tested against (ExprSpec). */
+  private[graft] def lshBucketHof(vec: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       // sum_j vec[j] * sign(hash(j, p))
       val proj = aggregate(
@@ -163,10 +172,19 @@ object Ann {
   }
 
   /** Nearest-centroid assignment (the IVF cell id) as a scan-stage column:
-    * argmin over k literal centroids via least() + a when-chain (linear
-    * expression size; double self-equality is exact, ties take the lowest
-    * cell id) — no shuffle, no UDF. */
+    * argmin over k literal centroids, ties to the lowest cell id — the
+    * native ArgminCellExpr (one fused pass, bit-identical distances; the
+    * HOF spelling below ran k interpreted zip_with folds per row and then
+    * re-evaluated them under least() + a when-chain). No shuffle, no UDF. */
   def assignCells(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    require(centroids.nonEmpty)
+    if (centroids.size == 1) lit(0)
+    else graft.functions.ArgminCellOps.argmin_cell(vec, centroids)
+  }
+
+  /** The declarative spelling — kept as the reference implementation the
+    * native expression is tested against (ExprSpec). */
+  private[graft] def assignCellsHof(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     require(centroids.nonEmpty)
     val ds = centroids.map(c => sqDistToLit(vec, c))
     if (ds.size == 1) return lit(0)

@@ -91,6 +91,61 @@ class ExprSpec extends SparkSpec {
       .linesIterator.exists(l => l.contains("*(") && l.contains("token_set_count")))
   }
 
+  test("lsh_bucket native expression ≡ HOF spelling (exact, incl. sign table)") {
+    import graft.operators.Ann
+    val rnd = new scala.util.Random(23)
+    val dims = Seq(3, 8, 64)
+    for (dim <- dims; planes <- Seq(1, 4, 8)) {
+      val vecs = (1 to 60).map { i =>
+        (i.toLong, Array.fill(dim)((rnd.nextFloat() - 0.5f) * 4))
+      }.toDF("id", "v").repartition(2)
+      val both = vecs.select(
+        Ann.lshBucket($"v", dim, planes).as("fast"),
+        Ann.lshBucketHof($"v", dim, planes).as("ref"))
+      assert(both.filter($"fast" =!= $"ref").count() == 0,
+        s"dim=$dim planes=$planes")
+    }
+    // degenerate shapes the zip_with null-padding used to collapse to 0
+    val short = Seq((1L, Array(1f, 2f))).toDF("id", "v")
+    val b = short.select(Ann.lshBucket($"v", 5, 4).as("b"),
+      Ann.lshBucketHof($"v", 5, 4).as("r")).collect().head
+    assert(b.getInt(0) == 0 && b.getInt(1) == 0)
+    // stays in whole-stage codegen
+    val q = Seq((1L, Array(1f, 2f, 3f))).toDF("id", "v").repartition(2)
+      .select(Ann.lshBucket($"v", 3, 4))
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString
+      .linesIterator.exists(l => l.contains("*(") && l.contains("lsh_bucket")))
+  }
+
+  test("argmin_cell native expression ≡ least+when-chain HOF spelling") {
+    import graft.operators.Ann
+    val rnd = new scala.util.Random(31)
+    for (dim <- Seq(3, 16); k <- Seq(2, 5)) {
+      val cents = Seq.fill(k)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+      // include exact-duplicate centroids to exercise the tie rule
+      val withTie = cents.updated(k - 1, cents.head)
+      val vecs = (1 to 50).map { i =>
+        (i.toLong, Array.fill(dim)((rnd.nextFloat() - 0.5f) * 3))
+      }.toDF("id", "v").repartition(2)
+      for (cs <- Seq(cents, withTie)) {
+        val both = vecs.select(
+          Ann.assignCells($"v", cs).as("fast"),
+          Ann.assignCellsHof($"v", cs).as("ref"))
+        assert(both.filter($"fast" =!= $"ref").count() == 0,
+          s"dim=$dim k=$k tie=${cs == withTie}")
+      }
+    }
+    // k-means end-to-end sanity: planted clusters recovered identically
+    val planted = (Seq.fill(30)(Array(1f, 0f)) ++ Seq.fill(30)(Array(0f, 1f)))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+    val cs2 = Ann.trainIvfCells(planted, "vec_id", "v", k = 2, iters = 3)
+    val cells = planted.select(Ann.assignCells($"v", cs2).as("c"))
+      .as[Int].collect()
+    assert(cells.take(30).distinct.length == 1 &&
+      cells.drop(30).distinct.length == 1 && cells.distinct.length == 2)
+  }
+
   test("sorted_pairs generator ≡ nested-transform pair expansion") {
     import graft.functions.SortedPairs
     val rnd = new scala.util.Random(11)
