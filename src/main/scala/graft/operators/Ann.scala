@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (Array[Float]) — brute-force cosine top-k baseline + LSH/IVF-bucketed
-  * scale paths. All math is `functions.zip_with`/`aggregate` column algebra
-  * in double precision (sequential fold — deterministic, engine-portable);
-  * no UDFs in the hot path.
+  * scale paths. All math runs as native fused Catalyst expressions
+  * (dot_product, lsh_bucket, argmin_cell — one codegen'd pass each) in
+  * double precision with deterministic left-to-right folds,
+  * engine-portable and bit-identical to the declarative HOF spellings
+  * retained here as test references; no UDFs in the hot path.
   */
 object Ann {
 
